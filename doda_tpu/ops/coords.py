@@ -1,0 +1,160 @@
+"""Integer-coordinate utilities: packing, dedup, and table lookup.
+
+This module replaces the reference's CPU hash-map voxel dedup
+(ref: lib/pointgroup_ops/src/voxelize/voxelize.cpp:61-155, which builds a
+``google::dense_hash_map`` per batch on the host) with fully on-device,
+statically-shaped XLA ops:
+
+* coordinates are packed into two int32 keys (TPU has no native int64),
+* dedup is a lexicographic sort + adjacent-difference scan,
+* lookup into a sorted table is a vectorized two-word binary search.
+
+All functions operate on ONE scene (no batch column); batch them with
+``jax.vmap``. Padding convention: invalid entries are keyed with
+``INT32_MAX`` so they sort to the end, and every index that "misses"
+(missing neighbor, overflowed capacity, padded point) is mapped to the
+*null slot* ``cap`` — callers allocate value arrays with ``cap + 1`` rows
+where row ``cap`` is zero, so gathers need no masking.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# Coordinates must satisfy 0 <= c < 2**15 per axis after voxelization.
+# Indoor scenes at voxel_scale 50 span ~1k voxels per axis; the reference's
+# crop stage (ref: dataset/augmentor/augmentor_utils.py:449-472) bounds the
+# extent long before this limit.
+MAX_COORD = 2 ** 15 - 1
+_SENTINEL = jnp.iinfo(jnp.int32).max
+
+
+def pack_coords(coords: jax.Array, valid: jax.Array):
+    """Pack int (N, 3) xyz coords into two int32 sort keys.
+
+    k1 = x, k2 = y * 2^16 + z. Lexicographic order on (k1, k2) equals
+    lexicographic order on (x, y, z). Invalid rows get sentinel keys that
+    sort after every real key.
+    """
+    x = coords[..., 0].astype(jnp.int32)
+    y = coords[..., 1].astype(jnp.int32)
+    z = coords[..., 2].astype(jnp.int32)
+    k1 = jnp.where(valid, x, _SENTINEL)
+    k2 = jnp.where(valid, y * (2 ** 16) + z, _SENTINEL)
+    return k1, k2
+
+
+class CoordTable(NamedTuple):
+    """A deduplicated, lexicographically sorted coordinate table.
+
+    coords : (cap, 3) int32 — unique coords, rows >= n are sentinel.
+    k1, k2 : (cap,) int32 — packed sort keys of ``coords``.
+    n      : () int32 — number of valid unique coords (<= cap).
+    p2v    : (N, ) int32 — original row -> table id; misses/padding -> cap.
+    """
+
+    coords: jax.Array
+    k1: jax.Array
+    k2: jax.Array
+    n: jax.Array
+    p2v: jax.Array
+
+    @property
+    def cap(self) -> int:
+        return self.coords.shape[0]
+
+    @property
+    def valid(self) -> jax.Array:
+        return jnp.arange(self.cap, dtype=jnp.int32) < self.n
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def unique_coords(coords: jax.Array, valid: jax.Array, cap: int) -> CoordTable:
+    """Deduplicate integer coords into a sorted table of capacity ``cap``.
+
+    Replaces the insert-order hash dedup of the reference voxelizer
+    (ref: voxelize.cpp:88-108) — table ids here are lexicographic rather
+    than first-appearance order, which is an internal detail (the point->
+    voxel map keeps the pairing consistent).
+
+    Coords beyond ``cap`` unique entries overflow into the null slot and
+    are dropped; callers can detect this via ``n`` (clamped to cap).
+    """
+    n_pts = coords.shape[0]
+    k1, k2 = pack_coords(coords, valid)
+    order = jnp.lexsort((k2, k1))  # primary k1, secondary k2, stable
+    k1s, k2s = k1[order], k2[order]
+    valid_s = valid[order]
+
+    first = jnp.zeros((n_pts,), dtype=bool).at[0].set(True)
+    new = (first | (k1s != jnp.roll(k1s, 1)) | (k2s != jnp.roll(k2s, 1))) & valid_s
+    vid_s = jnp.cumsum(new.astype(jnp.int32)) - 1  # id within sorted order
+    n = jnp.minimum(vid_s[-1] + 1, cap).astype(jnp.int32)
+    # invalid or overflowed -> null slot
+    vid_s = jnp.where(valid_s & (vid_s < cap), vid_s, cap)
+
+    # Scatter sorted unique coords into the table. Non-new rows all write the
+    # null slot (cap); its content is reset to sentinel afterwards.
+    slot = jnp.where(new & (vid_s < cap), vid_s, cap)
+    table = jnp.full((cap + 1, 3), MAX_COORD, dtype=jnp.int32)
+    table = table.at[slot].set(coords[order].astype(jnp.int32))
+    table = table.at[cap].set(MAX_COORD)
+    table = table[:cap]
+
+    # point -> voxel id in original order
+    p2v = jnp.full((n_pts,), cap, dtype=jnp.int32).at[order].set(
+        vid_s.astype(jnp.int32))
+
+    tk1, tk2 = pack_coords(table, jnp.arange(cap) < n)
+    return CoordTable(coords=table, k1=tk1, k2=tk2, n=n, p2v=p2v)
+
+
+def lookup(table: CoordTable, query_coords: jax.Array,
+           query_valid: jax.Array | None = None) -> jax.Array:
+    """Find each query coord in the sorted table.
+
+    Vectorized two-word binary search: O(log cap) rounds of gathers against
+    a table that fits comfortably in cache. Returns int32 ids in
+    ``[0, cap]`` where ``cap`` means "not present" (the null slot).
+
+    This is the TPU-native replacement for the reference's per-offset hash
+    probes when building sparse-conv rulebooks (spconv does this on GPU with
+    a hash table; ref usage model/unet_block.py:26-29).
+    """
+    cap = table.cap
+    if query_valid is None:
+        query_valid = jnp.ones(query_coords.shape[:-1], dtype=bool)
+    qk1, qk2 = pack_coords(query_coords, query_valid)
+    q_shape = qk1.shape
+    qk1 = qk1.reshape(-1)
+    qk2 = qk2.reshape(-1)
+
+    n_iter = max(1, (cap).bit_length())
+    lo = jnp.zeros(qk1.shape, dtype=jnp.int32)
+    hi = jnp.full(qk1.shape, cap, dtype=jnp.int32)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) // 2
+        mk1 = table.k1[mid]
+        mk2 = table.k2[mid]
+        less = (mk1 < qk1) | ((mk1 == qk1) & (mk2 < qk2))
+        lo = jnp.where(less, mid + 1, lo)
+        hi = jnp.where(less, hi, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
+    pos = jnp.minimum(lo, cap - 1)
+    hit = (table.k1[pos] == qk1) & (table.k2[pos] == qk2) & (qk1 != _SENTINEL)
+    idx = jnp.where(hit, pos, cap).astype(jnp.int32)
+    return idx.reshape(q_shape)
+
+
+def pad_rows(values: jax.Array) -> jax.Array:
+    """Append one zero row so null-slot gathers (id == cap) return zeros."""
+    pad_width = [(0, 1)] + [(0, 0)] * (values.ndim - 1)
+    return jnp.pad(values, pad_width)
