@@ -115,15 +115,22 @@ def unique_coords(coords: jax.Array, valid: jax.Array, cap: int) -> CoordTable:
 
 def lookup(table: CoordTable, query_coords: jax.Array,
            query_valid: jax.Array | None = None) -> jax.Array:
-    """Find each query coord in the sorted table.
+    """Find each query coord in the sorted table via a sort-join.
 
-    Vectorized two-word binary search: O(log cap) rounds of gathers against
-    a table that fits comfortably in cache. Returns int32 ids in
-    ``[0, cap]`` where ``cap`` means "not present" (the null slot).
+    Table rows and queries are sorted together by packed key (one stable
+    multi-key ``lax.sort``); a running-max scan then hands every query the
+    nearest preceding table row, which is its match iff the keys are equal.
+    Returns int32 ids in ``[0, cap]`` where ``cap`` means "not present"
+    (the null slot).
 
-    This is the TPU-native replacement for the reference's per-offset hash
-    probes when building sparse-conv rulebooks (spconv does this on GPU with
-    a hash table; ref usage model/unet_block.py:26-29).
+    Why not binary search: TPU gathers inside a dependent fori_loop cannot
+    pipeline — measured ~950 ms for 7M queries x 18 rounds on v5e, vs
+    ~40 ms for a 7M-element sort. One stable sort + a scan + two verify
+    gathers is ~20x faster at rulebook scale.
+
+    This replaces the reference's per-offset hash probes when building
+    sparse-conv rulebooks (spconv does this on GPU with a hash table;
+    ref usage model/unet_block.py:26-29).
     """
     cap = table.cap
     if query_valid is None:
@@ -132,26 +139,23 @@ def lookup(table: CoordTable, query_coords: jax.Array,
     q_shape = qk1.shape
     qk1 = qk1.reshape(-1)
     qk2 = qk2.reshape(-1)
+    n_q = qk1.shape[0]
 
-    n_iter = max(1, (cap).bit_length())
-    lo = jnp.zeros(qk1.shape, dtype=jnp.int32)
-    hi = jnp.full(qk1.shape, cap, dtype=jnp.int32)
-
-    def body(_, carry):
-        lo, hi = carry
-        mid = (lo + hi) // 2
-        mk1 = table.k1[mid]
-        mk2 = table.k2[mid]
-        less = (mk1 < qk1) | ((mk1 == qk1) & (mk2 < qk2))
-        lo = jnp.where(less, mid + 1, lo)
-        hi = jnp.where(less, hi, mid)
-        return lo, hi
-
-    lo, hi = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
-    pos = jnp.minimum(lo, cap - 1)
-    hit = (table.k1[pos] == qk1) & (table.k2[pos] == qk2) & (qk1 != _SENTINEL)
-    idx = jnp.where(hit, pos, cap).astype(jnp.int32)
-    return idx.reshape(q_shape)
+    all_k1 = jnp.concatenate([table.k1, qk1])
+    all_k2 = jnp.concatenate([table.k2, qk2])
+    pos = jnp.arange(cap + n_q, dtype=jnp.int32)
+    # Stable sort keeps table rows (positions < cap) ahead of equal-keyed
+    # queries, so the cummax below points each query at its table row.
+    sk1, sk2, spos = jax.lax.sort((all_k1, all_k2, pos), num_keys=2,
+                                  is_stable=True)
+    src = jnp.where(spos < cap, spos, -1)
+    cand = jax.lax.cummax(src)
+    safe = jnp.maximum(cand, 0)
+    hit = (cand >= 0) & (table.k1[safe] == sk1) & (table.k2[safe] == sk2) \
+        & (sk1 != _SENTINEL)
+    res_sorted = jnp.where(hit, safe, cap).astype(jnp.int32)
+    out = jnp.zeros((cap + n_q,), jnp.int32).at[spos].set(res_sorted)
+    return out[cap:].reshape(q_shape)
 
 
 def pad_rows(values: jax.Array) -> jax.Array:
