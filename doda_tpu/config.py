@@ -123,7 +123,9 @@ def cfg_from_list(cfg_list, config):
                 val_type = type(d[subkey][cur_key])
                 d[subkey][cur_key] = val_type(cur_val)
         elif type(value) != type(d[subkey]) and isinstance(d[subkey], list):
-            val_list = value.split(',')
+            # '4,5,6' literal_evals to a tuple; 'a,b,c' stays a string
+            val_list = list(value) if isinstance(value, tuple) \
+                else value.split(',')
             elem_type = type(d[subkey][0]) if len(d[subkey]) else str
             d[subkey] = [elem_type(x) for x in val_list]
         else:

@@ -1,0 +1,203 @@
+"""Dataset base: class mapping, pseudo-labels, padded collate.
+
+Reference counterpart: dataset/dataset.py. Key difference: the reference
+collates ragged scenes into one concatenated (N, ...) buffer plus offsets
+and voxelizes on the host CPU (dataset.py:121-187); here each scene is
+padded to a static per-scene capacity and stacked (B, N_cap, ...) — the
+voxelizer runs on device inside the jitted step, and capacities come from
+a small bucket ladder so eval scenes of any size trigger at most a few
+recompiles (SURVEY §7 "recompilation control").
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+
+from ..models.model_fn import PointBatch
+from .augmentor.augmentor import DataAugmentor
+from .class_mapper import get_mapper
+
+
+def pow2_bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class CollatedBatch:
+    """A PointBatch plus host-side metadata the jitted step doesn't see."""
+
+    def __init__(self, points: PointBatch, ids, lengths, extras=None,
+                 full=None):
+        self.points = points
+        self.ids = ids
+        self.lengths = lengths
+        self.extras = extras or {}
+        self.full = full  # full-resolution arrays for crop_to_regions eval
+
+
+class Dataset:
+    """Base dataset (ref: dataset/dataset.py:19-228)."""
+
+    def __init__(self, cfg, class_names, batch_size, split='training',
+                 training=True, logger=None, seed=None):
+        self.cfg = cfg
+        self.data_root = cfg.DATA_ROOT
+        self.dataset = cfg.DATASET
+        self.class_names = list(class_names)
+        self.batch_size = batch_size
+        self.logger = logger
+        self.split = split
+        self.training = training
+        dp = cfg.DATA_PROCESSOR
+        self.voxel_scale = dp.voxel_scale
+        self.max_npoint = dp.max_npoint
+        self.full_scale = dp.full_scale
+        self.point_range = dp.point_range
+        self.voxel_mode = dp.voxel_mode
+        self.downsampling_scale = dp.get('downsampling_scale', 1)
+        self.class_mapper, common = get_mapper(cfg.get('CLASS_MAPPER_FILE'))
+        if common is not None:
+            self.class_names = common
+        self.ignore_label = cfg.DATA_CLASS.ignore_label
+        self.pseudo_labels_dir = None
+        self.rng = np.random.default_rng(seed)
+
+        self.aug = cfg.DATA_AUG
+        self.augmentor = DataAugmentor(
+            self.aug, self.dataset, self.class_names, self.ignore_label,
+            self.voxel_scale, self.voxel_mode, self.full_scale,
+            self.point_range, self.max_npoint, seed=seed)
+
+        # capacity ladder: train scenes are cropped to max_npoint; eval
+        # scenes may be larger (no downsample/crop at inference,
+        # ref util/pseudo_labels_util.py:49-51)
+        base = 1 << (int(self.max_npoint - 1).bit_length())
+        self.capacity_buckets = [base // 4, base // 2, base, base * 2,
+                                 base * 4]
+
+    # ---- informational API mirrored from the reference ----
+
+    def get_data_list(self):
+        return self.data_list
+
+    def set_training_mode(self, training):
+        self.training = training
+
+    def get_downsampling_scale(self):
+        return self.downsampling_scale
+
+    def set_downsampling_scale(self, ds):
+        self.downsampling_scale = ds
+
+    def set_pseudo_labels_dir(self, pseudo_labels_dir):
+        """(ref: dataset/dataset.py:79-83)"""
+        if os.path.exists(pseudo_labels_dir):
+            self.pseudo_labels_dir = Path(pseudo_labels_dir)
+        else:
+            raise ValueError(
+                f"pseudo label path {pseudo_labels_dir} doesn't exist.")
+
+    def load_pseudo_labels(self, data_name):
+        """int labels, one file per scene. Prefers the npy store; falls
+        back to the reference's txt format (dataset/dataset.py:85-88)."""
+        npy = self.pseudo_labels_dir / 'npy' / (data_name + '.npy')
+        if npy.exists():
+            return np.load(npy).astype(np.int64).reshape(-1)
+        with open(self.pseudo_labels_dir / 'txt' / (data_name + '.txt')) as f:
+            return np.loadtxt(f, dtype=np.int64).reshape(-1)
+
+    def subsample_idx(self, n, ds_scale):
+        """Random 1/ds_scale subset, sorted (ref: dataset/dataset.py:73-77)."""
+        idx = self.rng.permutation(n)[:int(n / ds_scale)]
+        idx.sort()
+        return idx
+
+    def crop_to_regions(self, xyz_all):
+        """Quadrant split for >6M-point scenes (ref: dataset.py:99-113)."""
+        if xyz_all.shape[0] <= 6_000_000:
+            return []
+        xyz_max, xyz_min = xyz_all.max(0), xyz_all.min(0)
+        x_mid = (xyz_max[0] + xyz_min[0]) / 2.0
+        y_mid = (xyz_max[1] + xyz_min[1]) / 2.0
+        return [
+            (xyz_all[:, 0] > x_mid - 0.5) & (xyz_all[:, 1] > y_mid - 0.5),
+            (xyz_all[:, 0] > x_mid - 0.5) & (xyz_all[:, 1] < y_mid + 0.5),
+            (xyz_all[:, 0] < x_mid + 0.5) & (xyz_all[:, 1] > y_mid - 0.5),
+            (xyz_all[:, 0] < x_mid + 0.5) & (xyz_all[:, 1] < y_mid + 0.5),
+        ]
+
+    def __len__(self):
+        return len(self.data_list)
+
+    def __getitem__(self, item):
+        raise NotImplementedError
+
+    def load_data(self, index):
+        raise NotImplementedError
+
+    def run_augmentor(self, xyz, label):
+        """Returns (xyz_voxel, xyz_middle, label) or None if invalid."""
+        data = self.augmentor.forward({'xyz_middle': xyz, 'label': label})
+        if not data['valid']:
+            return None
+        return data['xyz'], data['xyz_middle'], data['label']
+
+    def plain_item(self, xyz):
+        """No-aug path: voxel coords from raw float coords
+        (ref: dataset/scannet.py:76-79)."""
+        xyz_middle = xyz.copy()
+        v = xyz_middle * self.voxel_scale
+        v = v - v.min(0)
+        return v, xyz_middle
+
+    # ---- collate ----
+
+    def _pad_items(self, items):
+        lengths = [it[0].shape[0] for it in items]
+        n_cap = pow2_bucket(max(lengths), self.capacity_buckets)
+        b = len(items)
+        coords = np.zeros((b, n_cap, 3), np.int32)
+        feats = np.zeros((b, n_cap, 3), np.float32)
+        labels = np.full((b, n_cap), self.ignore_label, np.int32)
+        valid = np.zeros((b, n_cap), bool)
+        ids = []
+        for i, it in enumerate(items):
+            xyz_v, xyz_mid, label, idx = it[:4]
+            n = xyz_v.shape[0]
+            coords[i, :n] = np.floor(xyz_v[:n_cap]).astype(np.int32)
+            feats[i, :n] = xyz_mid
+            labels[i, :n] = label
+            valid[i, :n] = True
+            ids.append(idx)
+        return PointBatch(coords=coords, feats=feats, labels=labels,
+                          valid=valid), ids, lengths
+
+    def collate_fn(self, items):
+        """Train collate (ref: dataset/dataset.py:121-187). Extras carry
+        TACM masks/queue payloads when present."""
+        points, ids, lengths = self._pad_items(items)
+        extras = {}
+        for it in items:
+            if len(it) > 4 and isinstance(it[4], dict) and it[4]:
+                info = it[4]
+                extras.setdefault('tar_tail_splits', []).extend(
+                    info.get('tar_tail_splits', []))
+                if 'tar_splits_class_ratio' in info:
+                    extras.setdefault('tar_splits_class_ratio', []).append(
+                        info['tar_splits_class_ratio'])
+        return CollatedBatch(points, ids, lengths, extras)
+
+    def test_collate_fn(self, items):
+        """(ref: dataset/dataset.py:189-222)"""
+        points, ids, lengths = self._pad_items(items)
+        return CollatedBatch(points, ids, lengths)
+
+    def collate_batch(self, items):
+        if not self.training:
+            return self.test_collate_fn(items)
+        return self.collate_fn(items)

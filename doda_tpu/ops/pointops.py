@@ -1,0 +1,281 @@
+"""Point-cloud op set: KNN, FPS, grouping, interpolation, clustering.
+
+TPU-native equivalents of the reference's two CUDA extensions:
+
+* ``lib/pointops2`` — knnquery (kernel knnquery_cuda_kernel.cu:65-109),
+  furthestsampling (sampling_cuda_kernel.cu:15-131), grouping
+  (grouping_cuda_kernel.cu:5-40), interpolation
+  (interpolation_cuda_kernel.cu:5-48), subtraction
+  (subtraction_cuda_kernel.cu:5-45), aggregation
+  (aggregation_cuda_kernel.cu:5-53);
+* ``lib/pointgroup_ops`` — ballquery_batch_p + bfs_cluster
+  (bfs_cluster.cu:15-63, bfs_cluster.cpp:28-75), roipool
+  (roipool.cu:12-58), get_iou (get_iou.cu:12-43), sec_mean/min/max
+  (sec_mean.cu:12-110).
+
+Design notes (TPU-first):
+* everything is per-scene with validity masks and static shapes; batch
+  with vmap (the reference threads batch "offset" arrays instead),
+* pairwise distances go through one MXU GEMM (-2 q·b) plus norms;
+  queries are chunked through ``lax.map`` to bound the (chunk, N)
+  distance tile,
+* BFS connected components become iterative label propagation
+  (min-over-neighbors to fixpoint) — a bounded ``while_loop``,
+* per-segment reductions use ``jax.ops.segment_*`` with ids derived
+  from offsets, replacing the hand-written CUDA reductions.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_BIG = 1e10
+
+
+def _sq_dists(queries, base, base_valid):
+    """(M, 3) x (N, 3) -> (M, N) squared distances; invalid -> +inf."""
+    qn = (queries * queries).sum(-1, keepdims=True)
+    bn = (base * base).sum(-1)
+    cross = jnp.dot(queries, base.T, preferred_element_type=jnp.float32)
+    d = qn + bn[None, :] - 2.0 * cross
+    return jnp.where(base_valid[None, :], jnp.maximum(d, 0.0), _BIG)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5))
+def knn(k: int, queries, base, query_valid=None, base_valid=None,
+        chunk: int = 512):
+    """k nearest neighbors of each query among valid base points.
+
+    Returns (idx (M, k) int32, dist (M, k) f32 — actual distances).
+    Matches ref knnquery semantics (pointops2.py:54-69): padded/invalid
+    queries return index 0.
+    """
+    m = queries.shape[0]
+    n = base.shape[0]
+    if base_valid is None:
+        base_valid = jnp.ones((n,), bool)
+    if query_valid is None:
+        query_valid = jnp.ones((m,), bool)
+
+    def do_chunk(q):
+        d = _sq_dists(q, base, base_valid)
+        neg, idx = jax.lax.top_k(-d, k)
+        return idx.astype(jnp.int32), jnp.sqrt(jnp.maximum(-neg, 0.0))
+
+    n_chunks = -(-m // chunk)
+    pad = n_chunks * chunk - m
+    qp = jnp.pad(queries, ((0, pad), (0, 0)))
+    idx, dist = jax.lax.map(do_chunk, qp.reshape(n_chunks, chunk, 3))
+    idx = idx.reshape(-1, k)[:m]
+    dist = dist.reshape(-1, k)[:m]
+    idx = jnp.where(query_valid[:, None], idx, 0)
+    return idx, dist
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def furthest_point_sampling(xyz, m: int, valid=None):
+    """Iterative farthest point sampling (ref sampling_cuda_kernel.cu:15-131).
+
+    Returns (m,) int32 indices; starts from index 0 like the reference.
+    """
+    n = xyz.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    dists = jnp.where(valid, _BIG, -1.0)
+
+    def body(i, carry):
+        sel, dists = carry
+        last = sel[i - 1]
+        d = ((xyz - xyz[last]) ** 2).sum(-1)
+        dists = jnp.minimum(dists, jnp.where(valid, d, -1.0))
+        nxt = jnp.argmax(dists).astype(jnp.int32)
+        sel = sel.at[i].set(nxt)
+        return sel, dists
+
+    sel = jnp.zeros((m,), jnp.int32)
+    sel, _ = jax.lax.fori_loop(1, m, body, (sel, dists))
+    return sel
+
+
+def grouping(feats, idx):
+    """Gather (n, c) by (m, nsample) -> (m, nsample, c)
+    (ref grouping_cuda_kernel.cu:5-40; backward is the gather VJP)."""
+    return feats[idx]
+
+
+def interpolation(xyz_src, xyz_dst, feats_src, k: int = 3, src_valid=None):
+    """k-NN inverse-distance-weighted feature propagation
+    (ref interpolation_cuda_kernel.cu:5-48): dst feats = sum_k w_k *
+    src_feats[nn_k] with w ~ 1/d normalized."""
+    idx, dist = knn(k, xyz_dst, xyz_src, base_valid=src_valid)
+    w = 1.0 / (dist * dist + 1e-8)
+    w = w / w.sum(-1, keepdims=True)
+    return (feats_src[idx] * w[..., None]).sum(axis=1)
+
+
+def subtraction(feats1, feats2, idx):
+    """(n, c), (n, c), (n, nsample) -> (n, nsample, c) pairwise diffs
+    (ref subtraction_cuda_kernel.cu:5-45)."""
+    return feats1[:, None, :] - feats2[idx]
+
+
+def aggregation(input_feats, position_feats, weight, idx):
+    """Weighted neighborhood aggregation (ref aggregation_cuda_kernel.cu:
+    5-53): out_i = sum_s (input[idx[i,s]] + position[i,s]) * weight[i,s]."""
+    n, nsample, c = position_feats.shape
+    w_c = weight.shape[-1]
+    gathered = input_feats[idx] + position_feats  # (n, nsample, c)
+    g = gathered.reshape(n, nsample, w_c, c // w_c)
+    return (g * weight[..., None]).reshape(n, nsample, c).sum(axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 5))
+def ballquery(xyz, radius, nsample: int, valid=None, new_xyz=None,
+              chunk: int = 512):
+    """Radius neighborhood query (ref bfs_cluster.cu:15-63
+    ballquery_batch_p): up to ``nsample`` neighbor ids per point within
+    ``radius``. Returns (idx (M, nsample) int32 padded with -1,
+    cnt (M,) int32)."""
+    if new_xyz is None:
+        new_xyz = xyz
+    n = xyz.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    r2 = radius * radius
+
+    def do_chunk(q):
+        d = _sq_dists(q, xyz, valid)
+        inside = d <= r2
+        # select the nsample nearest inside the ball
+        neg, idx = jax.lax.top_k(jnp.where(inside, -d, -_BIG), nsample)
+        ok = neg > -_BIG
+        return (jnp.where(ok, idx, -1).astype(jnp.int32),
+                ok.sum(-1).astype(jnp.int32))
+
+    m = new_xyz.shape[0]
+    n_chunks = -(-m // chunk)
+    pad = n_chunks * chunk - m
+    qp = jnp.pad(new_xyz, ((0, pad), (0, 0)))
+    idx, cnt = jax.lax.map(do_chunk, qp.reshape(n_chunks, chunk, 3))
+    return idx.reshape(-1, nsample)[:m], cnt.reshape(-1)[:m]
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def bfs_cluster(nbr_idx, same_group, valid, max_iters: int = 64):
+    """Connected components over a neighbor graph.
+
+    TPU reformulation of the CPU BFS in ref bfs_cluster.cpp:28-75: every
+    point starts as its own cluster (own index); each round takes the min
+    cluster id over its neighborhood (restricted to ``same_group`` pairs);
+    converges to per-component minima. Returns (N,) int32 cluster ids
+    (-1 for invalid).
+
+    nbr_idx: (N, nsample) int32 from ``ballquery`` (-1 padded).
+    same_group: (N,) int32 group key (e.g. semantic label) — edges only
+    connect equal keys, matching the semantic-restricted clustering.
+    """
+    n = nbr_idx.shape[0]
+    labels0 = jnp.where(valid, jnp.arange(n, dtype=jnp.int32), n)
+    safe_nbr = jnp.where(nbr_idx >= 0, nbr_idx, n)
+    key = jnp.where(valid, same_group.astype(jnp.int32), -1)
+    key_p = jnp.concatenate([key, jnp.array([-2], jnp.int32)])
+    edge_ok = (key_p[safe_nbr] == key[:, None]) & (nbr_idx >= 0)
+
+    def cond(carry):
+        labels, changed, it = carry
+        return changed & (it < max_iters)
+
+    def body(carry):
+        labels, _, it = carry
+        lp = jnp.concatenate([labels, jnp.array([n], jnp.int32)])
+        nbr_lab = jnp.where(edge_ok, lp[safe_nbr], n)
+        new = jnp.minimum(labels, nbr_lab.min(-1))
+        # propagate through cluster representatives (pointer jumping)
+        new = jnp.minimum(new, lp[jnp.minimum(new, n - 1)])
+        return new, jnp.any(new != labels), it + 1
+
+    labels, _, _ = jax.lax.while_loop(
+        cond, body, (labels0, jnp.asarray(True), 0))
+    return jnp.where(valid, labels, -1)
+
+
+def _segment_ids_from_offsets(offsets, n):
+    """offsets (S+1,) -> (n,) segment id per row (rows past the last
+    offset get id S = null)."""
+    return jnp.searchsorted(offsets[1:], jnp.arange(n), side='right') \
+        .astype(jnp.int32)
+
+
+def sec_mean(feats, offsets):
+    """Per-segment mean (ref sec_mean.cu:12-43). feats (n, c),
+    offsets (S+1,) -> (S, c)."""
+    n = feats.shape[0]
+    s = offsets.shape[0] - 1
+    ids = _segment_ids_from_offsets(offsets, n)
+    total = jax.ops.segment_sum(feats, ids, num_segments=s + 1)[:s]
+    cnt = (offsets[1:] - offsets[:-1]).astype(feats.dtype)
+    return total / jnp.maximum(cnt, 1)[:, None]
+
+
+def sec_min(feats, offsets):
+    """(ref sec_mean.cu:46-75)"""
+    n = feats.shape[0]
+    s = offsets.shape[0] - 1
+    ids = _segment_ids_from_offsets(offsets, n)
+    return jax.ops.segment_min(feats, ids, num_segments=s + 1)[:s]
+
+
+def sec_max(feats, offsets):
+    """(ref sec_mean.cu:78-110)"""
+    n = feats.shape[0]
+    s = offsets.shape[0] - 1
+    ids = _segment_ids_from_offsets(offsets, n)
+    return jax.ops.segment_max(feats, ids, num_segments=s + 1)[:s]
+
+
+def roipool(feats, proposal_ids, n_proposals: int):
+    """Per-proposal channelwise max-pool (ref roipool.cu:12-58).
+    feats (n, c), proposal_ids (n,) int32 (-1 = none) -> (P, c).
+    Gradients flow to the argmax rows via the segment_max VJP, matching
+    the reference's scatter backward."""
+    ids = jnp.where(proposal_ids >= 0, proposal_ids, n_proposals)
+    out = jax.ops.segment_max(feats, ids, num_segments=n_proposals + 1)
+    return jnp.where(jnp.isfinite(out[:n_proposals]), out[:n_proposals], 0.0)
+
+
+def get_iou(proposal_ids, instance_labels, n_proposals: int,
+            n_instances: int):
+    """Proposal-vs-instance IoU matrix (ref get_iou.cu:12-43) via one-hot
+    intersection counting on the MXU."""
+    p = jax.nn.one_hot(jnp.where(proposal_ids >= 0, proposal_ids,
+                                 n_proposals), n_proposals + 1,
+                       dtype=jnp.float32)[:, :n_proposals]
+    g = jax.nn.one_hot(jnp.where(instance_labels >= 0, instance_labels,
+                                 n_instances), n_instances + 1,
+                       dtype=jnp.float32)[:, :n_instances]
+    inter = jnp.dot(p.T, g, preferred_element_type=jnp.float32)
+    p_cnt = p.sum(0)[:, None]
+    g_cnt = g.sum(0)[None, :]
+    return inter / jnp.maximum(p_cnt + g_cnt - inter, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# host-side helpers
+# ---------------------------------------------------------------------------
+
+def knn_broadcast_labels(xyz_sub, labels_sub, xyz_all):
+    """1-NN label broadcast from a subsampled scene to full resolution —
+    the eval/pseudo-label path for cropped or downsampled scenes
+    (ref: model/unet.py:135-145 via pointops.knnquery(1, ...)).
+
+    Host implementation on scipy's cKDTree (fast, exact); the device path
+    is ``knn(1, ...)``.
+    """
+    from scipy.spatial import cKDTree
+    tree = cKDTree(np.asarray(xyz_sub))
+    _, idx = tree.query(np.asarray(xyz_all), k=1)
+    return np.asarray(labels_sub)[idx]

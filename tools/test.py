@@ -1,0 +1,188 @@
+"""Evaluator CLI (ref: tool/test.py).
+
+``python tools/test.py --cfg_file cfgs/... --ckpt <dir> [--save_to_file]
+[--save_logit] [--eval_src]``. Reproduces the reference's per-class IoU
+table, optional txt/npy result dumps, and the crop -> full-scene 1-NN
+label broadcast for S3DIS (ref: model/unet.py:135-145).
+"""
+
+import _init_path  # noqa: F401
+import argparse
+import datetime
+import os
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from doda_tpu.config import (cfg, cfg_from_list, cfg_from_yaml_file,
+                             log_config_to_file)
+from doda_tpu.data import build_dataloader
+from doda_tpu.models import model_fn as mf
+from doda_tpu.models.unet import default_brick_caps
+from doda_tpu.ops.pointops import knn_broadcast_labels
+from doda_tpu.utils import checkpoint as ckpt_utils
+from doda_tpu.utils.logging import get_logger
+from doda_tpu.utils.metrics import (AverageMeter, calc_metrics,
+                                    intersection_and_union)
+from doda_tpu.utils.optim import build_optimizer
+
+
+def parse_config():
+    """(ref: tool/test.py:27-56)"""
+    parser = argparse.ArgumentParser(description='arg parser')
+    parser.add_argument('--cfg_file', type=str, default=None)
+    parser.add_argument('--batch_size', type=int, default=None)
+    parser.add_argument('--workers', type=int, default=4)
+    parser.add_argument('--extra_tag', type=str, default='default')
+    parser.add_argument('--ckpt', type=str, default=None)
+    parser.add_argument('--launcher', choices=['none', 'pytorch', 'slurm'],
+                        default='none')
+    parser.add_argument('--tcp_port', type=int, default=18867)
+    parser.add_argument('--local_rank', type=int, default=0)
+    parser.add_argument('--print_freq', type=int, default=5)
+    parser.add_argument('--save_to_file', action='store_true')
+    parser.add_argument('--save_logit', action='store_true')
+    parser.add_argument('--eval_src', action='store_true',
+                        help='evaluate with source-domain DSNorm stats')
+    parser.add_argument('--split', type=str, default='test')
+    parser.add_argument('--set', dest='set_cfgs', default=None,
+                        nargs=argparse.REMAINDER)
+    args = parser.parse_args()
+    cfg_from_yaml_file(args.cfg_file, cfg)
+    cfg.TAG = Path(args.cfg_file).stem
+    cfg.EXP_GROUP_PATH = '/'.join(args.cfg_file.split('/')[1:-1])
+    if args.set_cfgs is not None:
+        cfg_from_list(args.set_cfgs, cfg)
+    return args, cfg
+
+
+def to_device(points):
+    import jax.numpy as jnp
+    return jax.tree.map(jnp.asarray, points)
+
+
+def test_one_epoch(args, cfg, logger, loader, state, eval_step, result_dir):
+    """(ref: tool/test.py:103-200)"""
+    n_classes = cfg.COMMON_CLASSES.n_classes
+    ignore = cfg.DATA_CONFIG_TAR.DATA_CLASS.ignore_label
+    loss_meter = AverageMeter()
+    inter_m, union_m, target_m = (AverageMeter() for _ in range(3))
+    batch_time = AverageMeter()
+    domain = 0 if args.eval_src else (
+        1 if cfg.MODEL.get('dsnorm', False) else 0)
+    end = time.time()
+    for i, batch in enumerate(loader):
+        out = eval_step(state.params, state.batch_stats,
+                        to_device(batch.points), domain)
+        preds = np.asarray(out['preds'])
+        if batch.full is not None:
+            # crop -> full-resolution 1-NN broadcast (ref model/unet.py:135-145)
+            logits = np.asarray(out['output'])
+            inter = np.zeros(n_classes, np.int64)
+            union = np.zeros(n_classes, np.int64)
+            target = np.zeros(n_classes, np.int64)
+            full_preds = []
+            for b in range(preds.shape[0]):
+                n = batch.lengths[b]
+                bp = knn_broadcast_labels(
+                    np.asarray(batch.points.feats[b, :n]),
+                    preds[b, :n],
+                    batch.full['xyz_middle_all'][b])
+                labels_all = batch.full['label_all'][b]
+                ii, uu, tt = (np.asarray(x) for x in intersection_and_union(
+                    bp, labels_all.astype(np.int32), n_classes, ignore))
+                inter += ii
+                union += uu
+                target += tt
+                full_preds.append(bp)
+            loss = float(out['loss'])
+            count = sum(len(p) for p in full_preds)
+            preds_for_save = full_preds
+        else:
+            inter = np.asarray(out['intersection'])
+            union = np.asarray(out['union'])
+            target = np.asarray(out['target'])
+            loss = float(out['loss'])
+            count = int(out['count'])
+            preds_for_save = [preds[b, :batch.lengths[b]]
+                              for b in range(preds.shape[0])]
+
+        loss_meter.update(loss, max(count, 1))
+        inter_m.update(inter)
+        union_m.update(union)
+        target_m.update(target)
+
+        if args.save_to_file:
+            os.makedirs(result_dir / 'txt', exist_ok=True)
+            data_list = loader.dataset.get_data_list()
+            for b, idx in enumerate(batch.ids):
+                name = os.path.basename(str(data_list[idx])).split('.')[0]
+                np.savetxt(result_dir / 'txt' / f'{name}.txt',
+                           preds_for_save[b].astype(np.uint8), fmt='%d')
+        if args.save_logit:
+            os.makedirs(result_dir / 'logit', exist_ok=True)
+            logits = np.asarray(out['output'])
+            data_list = loader.dataset.get_data_list()
+            for b, idx in enumerate(batch.ids):
+                name = os.path.basename(str(data_list[idx])).split('.')[0]
+                np.save(result_dir / 'logit' / f'{name}.npy',
+                        logits[b, :batch.lengths[b]])
+
+        batch_time.update(time.time() - end)
+        end = time.time()
+        if (i + 1) % args.print_freq == 0:
+            acc = inter_m.val.sum() / (target_m.val.sum() + 1e-10)
+            logger.info('Test: [{}/{}] Batch {:.3f} ({:.3f}) '
+                        'Loss {:.4f} ({:.4f}) Accuracy {:.4f}.'.format(
+                            i + 1, len(loader), batch_time.val,
+                            batch_time.avg, loss_meter.val, loss_meter.avg,
+                            acc))
+
+    miou, macc, allacc, iou_class, acc_class = calc_metrics(
+        inter_m.sum, union_m.sum, target_m.sum)
+    logger.info('Val result: mIoU/mAcc/allAcc {:.4f}/{:.4f}/{:.4f}.'.format(
+        miou, macc, allacc))
+    for c in range(n_classes):
+        logger.info('Class {} : iou/accuracy {:.4f}/{:.4f}.'.format(
+            cfg.COMMON_CLASSES.class_names[c], iou_class[c], acc_class[c]))
+    return miou
+
+
+def main():
+    args, _ = parse_config()
+    if args.batch_size is None:
+        args.batch_size = cfg.OPTIMIZATION.BATCH_SIZE_PER_GPU
+    output_dir = cfg.ROOT_DIR / 'output' / cfg.EXP_GROUP_PATH / cfg.TAG \
+        / args.extra_tag
+    eval_dir = output_dir / 'eval'
+    eval_dir.mkdir(parents=True, exist_ok=True)
+    log_file = eval_dir / ('log_test_%s.txt' % datetime.datetime.now()
+                           .strftime('%Y%m%d-%H%M%S'))
+    logger = get_logger(log_file=log_file, rank=cfg.LOCAL_RANK)
+    logger.info('**************** Start Evaluation ****************')
+    for key, val in vars(args).items():
+        logger.info('{:16} {}'.format(key, val))
+    log_config_to_file(cfg, logger=logger)
+
+    model = mf.build_model(cfg)
+    tx = build_optimizer(cfg.OPTIMIZATION)
+    b_caps = default_brick_caps(
+        cfg.DATA_CONFIG_TAR.DATA_PROCESSOR.get('brick_cap', 32768),
+        model.num_levels)
+    _, eval_step, _ = mf.make_steps(cfg, model, tx, b_caps)
+    state = mf.init_state(cfg, model, tx, jax.random.PRNGKey(0))
+    if args.ckpt:
+        state = ckpt_utils.load_params_from_pretrain(args.ckpt, state,
+                                                     strict=True,
+                                                     logger=logger)
+    _, loader, _ = build_dataloader(
+        cfg.DATA_CONFIG_TAR, args.batch_size, dist=False,
+        workers=args.workers, logger=logger, split=args.split,
+        training=False)
+    test_one_epoch(args, cfg, logger, loader, state, eval_step, eval_dir)
+
+
+if __name__ == '__main__':
+    main()
