@@ -39,8 +39,10 @@ import numpy as np
 from .coords import CoordTable, pad_rows, unique_coords
 from .sparse import build_subm_rulebook
 
-BRICK = 4
+BRICK = 8
 CELLS = BRICK ** 3
+_H = BRICK // 2             # downsampled brick side
+WINDOWS = _H ** 3           # stride-2 output positions per brick
 
 
 def _cell_index(coords_mod: jax.Array) -> jax.Array:
@@ -124,97 +126,127 @@ def build_brick_rulebook(table: CoordTable) -> jax.Array:
     return build_subm_rulebook(table, 3)
 
 
-@functools.lru_cache(maxsize=None)
-def _halo_perm(c: int) -> np.ndarray:
-    """Static column permutation building the (6,6,6,C) halo from the flat
-    27-neighbor gather (B, 27*64*C).
+def _axis_range(d: int):
+    """Source cells along one axis contributed to a neighbor at offset d."""
+    if d == -1:
+        return [BRICK - 1]
+    if d == 0:
+        return list(range(BRICK))
+    return [0]
 
-    Halo axis h in [0,6) maps to (neighbor coord d, source cell s):
-    0 -> (-1, 3); 1..4 -> (0, h-1); 5 -> (+1, 0). Keeping the assembly a
-    pure 2D column gather sidesteps TPU layout padding on small channel
-    counts (a (B,6,6,6,C<128) scatter assembly measured ~15x slower).
+
+_OFFS3 = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+          for dz in (-1, 0, 1)]
+
+
+@functools.lru_cache(maxsize=None)
+def _shell_layout(c: int):
+    """Static maps for the exact shell-gather halo.
+
+    Returns (piece_cols, halo_perm):
+    * piece_cols: list of (offset_index o, column array) — the columns of
+      a brick's flat (CELLS*c) row that neighbor direction o needs (its
+      facing face/edge/corner; 6x(B^2) + 12xB + 8x1 cells total, ~2x the
+      brick instead of the 27x a full-neighbor gather moves),
+    * halo_perm: columns into concat([center, gathered pieces...], axis=1)
+      building the flat (BRICK+2)^3*c halo.
     """
+    piece_cols = []
+    piece_start = {}
+    start = CELLS * c  # concat buffer begins with the center brick
+    for o, (dx, dy, dz) in enumerate(_OFFS3):
+        if (dx, dy, dz) == (0, 0, 0):
+            continue
+        cells = [x * BRICK * BRICK + y * BRICK + z
+                 for x in _axis_range(dx)
+                 for y in _axis_range(dy)
+                 for z in _axis_range(dz)]
+        cols = (np.asarray(cells, np.int32)[:, None] * c
+                + np.arange(c, dtype=np.int32)).reshape(-1)
+        piece_cols.append((o, cols))
+        piece_start[o] = start
+        start += len(cols)
+
     def split(h):
         if h == 0:
-            return 0, BRICK - 1
+            return -1, BRICK - 1
         if h <= BRICK:
-            return 1, h - 1
-        return 2, 0
+            return 0, h - 1
+        return 1, 0
 
-    perm = np.zeros((BRICK + 2, BRICK + 2, BRICK + 2, c), np.int32)
+    hp = np.zeros((BRICK + 2, BRICK + 2, BRICK + 2, c), np.int32)
     for hx in range(BRICK + 2):
         dx, sx = split(hx)
         for hy in range(BRICK + 2):
             dy, sy = split(hy)
             for hz in range(BRICK + 2):
                 dz, sz = split(hz)
-                delta = dx * 9 + dy * 3 + dz
-                cell = sx * BRICK * BRICK + sy * BRICK + sz
-                perm[hx, hy, hz] = (delta * CELLS + cell) * c + np.arange(c)
-    return perm.reshape(-1)
-
-
-def gather_halo(bfeats: jax.Array, nbr: jax.Array) -> jax.Array:
-    """(B, 64, C) + (B, 27) -> halo'd (B, 6, 6, 6, C).
-
-    One wide row gather (rows of 64*C contiguous elements — the efficient
-    TPU gather regime) followed by a static column permutation. Missing
-    neighbors read the zero row.
-    """
-    b, _, c = bfeats.shape
-    flat = pad_rows(bfeats.reshape(b, CELLS * c))   # (B+1, 64C)
-    n = flat[nbr].reshape(nbr.shape[0], 27 * CELLS * c)
-    halo = n[:, jnp.asarray(_halo_perm(c))]
-    return halo.reshape(nbr.shape[0], BRICK + 2, BRICK + 2, BRICK + 2, c)
-
-
-# bound the 27x gather intermediate: process bricks in chunks of this many
-HALO_CHUNK = 4096
+                if (dx, dy, dz) == (0, 0, 0):
+                    base = (sx * BRICK * BRICK + sy * BRICK + sz) * c
+                else:
+                    o = ((dx + 1) * 3 + (dy + 1)) * 3 + (dz + 1)
+                    rx, ry, rz = (_axis_range(dx), _axis_range(dy),
+                                  _axis_range(dz))
+                    pos = (rx.index(sx) * len(ry) * len(rz)
+                           + ry.index(sy) * len(rz) + rz.index(sz))
+                    base = piece_start[o] + pos * c
+                hp[hx, hy, hz] = base + np.arange(c)
+    return piece_cols, hp.reshape(-1)
 
 
 def subm_conv3(bfeats: jax.Array, occ: jax.Array, nbr: jax.Array,
                weights: jax.Array, compute_dtype=jnp.bfloat16) -> jax.Array:
-    """Submanifold 3^3 conv on bricks: halo gather + dense lax conv (MXU).
+    """Submanifold 3^3 conv on bricks: shell-gather halo + dense conv (MXU).
 
     bfeats  (B_cap, 64, Cin) — zero at inactive cells (invariant)
     weights (27, Cin, Cout) raster (dx, dy, dz) — same layout as the
             gather engine, reshapeable to (3, 3, 3, Cin, Cout)
     returns (B_cap, 64, Cout) f32, masked to active cells
 
-    The 27-neighbor gather expands data 27x before the halo permutation
-    keeps 3.4x; chunking bricks through ``lax.map`` bounds the transient
-    to HALO_CHUNK bricks (a full-capacity gather at batch 4 would need
-    ~7 GB of HBM).
+    Halo assembly is an *exact shell gather*: each neighbor direction
+    contributes only its facing face/edge/corner cells (26 small row
+    gathers moving ~2x the brick data), instead of gathering 27 full
+    neighbor bricks (27x amplification, measured bandwidth-bound).
     """
     b_cap = bfeats.shape[0]
     cin = weights.shape[1]
     cout = weights.shape[2]
-    x = bfeats.astype(compute_dtype)
-    flat = pad_rows(x.reshape(b_cap, CELLS * cin))   # (B+1, 64C)
+    x2 = bfeats.astype(compute_dtype).reshape(b_cap, CELLS * cin)
     w = weights.reshape(3, 3, 3, cin, cout).astype(compute_dtype)
-    perm = jnp.asarray(_halo_perm(cin))
+    piece_cols, halo_perm = _shell_layout(cin)
+    halo_perm = jnp.asarray(halo_perm)
+
+    # compact shell arrays built once per conv input (~1x brick data)
+    x2p = pad_rows(x2)
+    pieces = [pad_rows(x2[:, jnp.asarray(cols)]) for _, cols in piece_cols]
 
     def chunk_conv(nbr_chunk):
-        n = flat[nbr_chunk].reshape(nbr_chunk.shape[0], 27 * CELLS * cin)
-        halo = n[:, perm].reshape(-1, BRICK + 2, BRICK + 2, BRICK + 2, cin)
+        parts = [x2p[nbr_chunk[:, 13]]]  # center == self row
+        parts += [piece[nbr_chunk[:, o]]
+                  for piece, (o, _) in zip(pieces, piece_cols)]
+        buf = jnp.concatenate(parts, axis=1)
+        halo = buf[:, halo_perm].reshape(
+            -1, BRICK + 2, BRICK + 2, BRICK + 2, cin)
         # conv stays wholly in compute_dtype: a f32 preferred_element_type
-        # output makes the transpose (VJP) conv see mixed f32/bf16 operands
-        # and fail; the MXU accumulates in f32 internally either way.
+        # output makes the transpose (VJP) conv see mixed f32/bf16
+        # operands and fail; the MXU accumulates in f32 either way.
         out = jax.lax.conv_general_dilated(
             halo, w, (1, 1, 1), 'VALID',
             dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'))
         return out.astype(jnp.float32).reshape(-1, CELLS, cout)
 
-    if b_cap <= HALO_CHUNK:
+    # chunk bricks to bound transient liveness (XLA's TPU scheduler
+    # otherwise overlaps many convs' halos and blows HBM)
+    chunk = max(256, min(2048, b_cap))
+    if b_cap <= chunk:
         out = chunk_conv(nbr)
     else:
-        n_chunks = -(-b_cap // HALO_CHUNK)
-        pad = n_chunks * HALO_CHUNK - b_cap
+        n_chunks = -(-b_cap // chunk)
+        pad = n_chunks * chunk - b_cap
         nbr_p = jnp.pad(nbr, ((0, pad), (0, 0)),
                         constant_values=b_cap) if pad else nbr
-        out = jax.lax.map(chunk_conv,
-                          nbr_p.reshape(n_chunks, HALO_CHUNK, 27))
-        out = out.reshape(n_chunks * HALO_CHUNK, CELLS, cout)[:b_cap]
+        out = jax.lax.map(chunk_conv, nbr_p.reshape(n_chunks, chunk, 27))
+        out = out.reshape(n_chunks * chunk, CELLS, cout)[:b_cap]
     return jnp.where(occ[..., None], out, 0.0)
 
 
@@ -223,18 +255,18 @@ def subm_conv3(bfeats: jax.Array, occ: jax.Array, nbr: jax.Array,
 # ---------------------------------------------------------------------------
 
 def _parity_cell_map() -> np.ndarray:
-    """(8 parities, 8 positions) -> parent cell id.
+    """(8 parities, WINDOWS positions) -> parent cell id.
 
-    A child brick with coord parity (rx, ry, rz) writes its 2^3
+    A child brick with coord parity (rx, ry, rz) writes its (BRICK/2)^3
     downsampled block into the parent-brick sub-cube at corner
-    (2rx, 2ry, 2rz)."""
-    m = np.zeros((8, 8), np.int32)
+    (rx, ry, rz) * BRICK/2."""
+    m = np.zeros((8, WINDOWS), np.int32)
     for pr in range(8):
         rx, ry, rz = pr >> 2 & 1, pr >> 1 & 1, pr & 1
-        for p in range(8):
-            i, j, k = p >> 2 & 1, p >> 1 & 1, p & 1
-            m[pr, p] = ((2 * rx + i) * BRICK * BRICK
-                        + (2 * ry + j) * BRICK + (2 * rz + k))
+        for p in range(WINDOWS):
+            i, j, k = p // (_H * _H), p // _H % _H, p % _H
+            m[pr, p] = ((rx * _H + i) * BRICK * BRICK
+                        + (ry * _H + j) * BRICK + (rz * _H + k))
     return m
 
 
@@ -247,9 +279,9 @@ class BrickDown(NamedTuple):
     ref model/unet_block.py:70-78).
 
     parent       : CoordTable of coarse brick coords (P_cap)
-    parent_occ   : (P_cap, 64) bool
+    parent_occ   : (P_cap, CELLS) bool
     child_parent : (B_cap,) int32 (null = P_cap)
-    target_cells : (B_cap, 8) int32 parent cells for each child 2^3 block
+    target_cells : (B_cap, WINDOWS) int32 parent cells per child block
     """
 
     parent: CoordTable
@@ -267,14 +299,14 @@ def build_brick_downsample(table: CoordTable, occ: jax.Array,
     parity = ((table.coords[:, 0] & 1) * 4 + (table.coords[:, 1] & 1) * 2
               + (table.coords[:, 2] & 1))
     parity = jnp.where(valid, parity, 0)
-    target_cells = jnp.asarray(_PARITY_CELLS)[parity]  # (B_cap, 8)
+    target_cells = jnp.asarray(_PARITY_CELLS)[parity]  # (B_cap, WINDOWS)
 
     # parent cell active iff any fine voxel in its 2^3 window is active
-    occ_blocks = occ.reshape(-1, 2, BRICK // 2, 2, BRICK // 2, 2,
-                             BRICK // 2)
-    # cell layout x*16+y*4+z -> (x_hi, x_lo, y_hi, y_lo, z_hi, z_lo)
-    occ2 = occ_blocks.transpose(0, 1, 3, 5, 2, 4, 6).reshape(-1, 8, 8)
-    child_occ2 = occ2.any(-1)  # (B_cap, 8) — downsampled 2^3 occupancy
+    occ_blocks = occ.reshape(-1, _H, 2, _H, 2, _H, 2)
+    # per axis: cell = hi * 2 + lo -> (x_hi, x_lo, y_hi, y_lo, z_hi, z_lo)
+    occ2 = occ_blocks.transpose(0, 1, 3, 5, 2, 4, 6).reshape(
+        -1, WINDOWS, 8)
+    child_occ2 = occ2.any(-1)  # (B_cap, WINDOWS) downsampled occupancy
     pocc = jnp.zeros((p_cap + 1, CELLS), bool)
     pocc = pocc.at[child_parent[:, None], target_cells].max(
         child_occ2 & valid[:, None])
@@ -298,12 +330,13 @@ def down_conv2(bfeats: jax.Array, ds: BrickDown, weights: jax.Array,
     cout = weights.shape[-1]
     p_cap = ds.parent_occ.shape[0]
     x = _occ_cell_order(bfeats).astype(compute_dtype)
-    # im2col for k2s2 inside the brick: (B, 2,2,2 windows, 8 offsets, Cin)
-    x = x.reshape(b_cap, 2, 2, 2, 2, 2, 2, cin)  # (b, xh, xl, yh, yl, zh, zl)
-    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(b_cap * 8, 8 * cin)
+    # im2col for k2s2 inside the brick: windows x 2^3 offsets
+    x = x.reshape(b_cap, _H, 2, _H, 2, _H, 2, cin)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+        b_cap * WINDOWS, 8 * cin)
     w = weights.reshape(8 * cin, cout).astype(compute_dtype)
-    child_out = jnp.dot(x, w, preferred_element_type=jnp.float32)
-    child_out = child_out.reshape(b_cap, 8, cout)
+    child_out = jnp.dot(x, w)
+    child_out = child_out.astype(jnp.float32).reshape(b_cap, WINDOWS, cout)
     pf = jnp.zeros((p_cap + 1, CELLS, cout), child_out.dtype)
     pf = pf.at[ds.child_parent[:, None], ds.target_cells].add(child_out)
     pf = pf[:p_cap]
@@ -325,12 +358,13 @@ def up_conv2(parent_feats: jax.Array, occ: jax.Array, ds: BrickDown,
     p_cap = parent_feats.shape[0]
     flat = jnp.minimum(ds.child_parent[:, None] * CELLS + ds.target_cells,
                        p_cap * CELLS)
-    corner = pf[flat]  # (B_cap, 8, Cin) — the 2^3 parent block
+    corner = pf[flat]  # (B_cap, WINDOWS, Cin) — the (BRICK/2)^3 block
     # out[(xh xl)(yh yl)(zh zl)] = corner[xh, yh, zh] @ W[xl*4+yl*2+zl]
     w = jnp.transpose(weights, (1, 0, 2)).reshape(cin, 8 * cout)
-    out8 = jnp.dot(corner.reshape(b_cap * 8, cin), w.astype(compute_dtype),
-                   preferred_element_type=jnp.float32)
-    out8 = out8.reshape(b_cap, 2, 2, 2, 2, 2, 2, cout)
+    out8 = jnp.dot(corner.reshape(b_cap * WINDOWS, cin),
+                   w.astype(compute_dtype))
+    out8 = out8.astype(jnp.float32).reshape(b_cap, _H, _H, _H, 2, 2, 2,
+                                            cout)
     #        (b, xh, yh, zh, xl, yl, zl, c) -> (b, xh, xl, yh, yl, zh, zl, c)
     out = out8.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(b_cap, CELLS, cout)
     return jnp.where(occ[..., None], out, 0.0)

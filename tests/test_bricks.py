@@ -118,7 +118,7 @@ def test_up_conv2_matches_gather_engine(rng):
     from doda_tpu.ops.coords import lookup
     pbid = np.asarray(lookup(bds.parent, jnp.asarray(p_coords // bricks.BRICK)))
     pcell = np.asarray(bricks._cell_index(jnp.asarray(p_coords % bricks.BRICK)))
-    pbf = np.zeros((32, 64, 5), np.float32)
+    pbf = np.zeros((32, bricks.CELLS, 5), np.float32)
     pbf[pbid, pcell] = pfeats[:pn]
     out = bricks.up_conv2(jnp.asarray(pbf), grid.occ, bds, jnp.asarray(w),
                           compute_dtype=F32)
