@@ -22,7 +22,7 @@ import numpy as np
 BATCH = 4
 N_CAP = 262144
 N_REAL = 150_000
-BRICK_CAP = 6144
+BRICK_CAP = 24576
 TARGET_SCENES_PER_SEC = 75.0
 
 

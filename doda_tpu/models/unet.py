@@ -93,7 +93,26 @@ def build_level_plan(coords: jax.Array, valid: jax.Array,
 # batched op wrappers (leading scene dim on both data and indices)
 # ---------------------------------------------------------------------------
 
+def _use_pallas() -> bool:
+    import os
+    return (jax.default_backend() == 'tpu'
+            and not os.environ.get('DODA_NO_PALLAS'))
+
+
 def _bsubm(x, occ, nbr, w, dtype):
+    if _use_pallas():
+        # Flatten scenes into the brick dim (vmap of pallas_call would
+        # fold the batch into the VMEM block and overflow it): per-scene
+        # neighbor ids get a scene offset; every scene's null slot (cap)
+        # maps to the single global null row at batch*cap.
+        from ..ops.pallas_halo import halo_conv
+        bt, cap = nbr.shape[0], nbr.shape[1]
+        offs = (jnp.arange(bt, dtype=jnp.int32) * cap)[:, None, None]
+        nbr_flat = jnp.where(nbr >= cap, bt * cap, nbr + offs)
+        out = halo_conv(x.reshape(bt * cap, *x.shape[2:]),
+                        occ.reshape(bt * cap, -1),
+                        nbr_flat.reshape(bt * cap, 27), w, dtype)
+        return out.reshape(bt, cap, out.shape[-2], out.shape[-1])
     return jax.vmap(lambda f, o, n: subm_conv3(f, o, n, w, dtype))(x, occ, nbr)
 
 

@@ -39,7 +39,7 @@ import numpy as np
 from .coords import CoordTable, pad_rows, unique_coords
 from .sparse import build_subm_rulebook
 
-BRICK = 8
+BRICK = 4
 CELLS = BRICK ** 3
 _H = BRICK // 2             # downsampled brick side
 WINDOWS = _H ** 3           # stride-2 output positions per brick
