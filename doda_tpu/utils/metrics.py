@@ -47,7 +47,7 @@ class AverageMeter:
         self.val = val
         self.sum = self.sum + val * n
         self.count += n
-        self.avg = self.sum / self.count
+        self.avg = self.sum / self.count if self.count else 0.0
 
 
 def calc_metrics(intersection_sum, union_sum, target_sum):

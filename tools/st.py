@@ -171,10 +171,15 @@ def train_epoch(args, cfg, logger, writer, source_reader, tar_loader,
         state, m = st_step(state, to_device(source_batch.points),
                            to_device(batch.points), lr, w_src, w_tar)
         m = jax.tree.map(np.asarray, m)
-        meters['loss_x'].update(float(m['loss_x']), int(m['count_x']))
-        meters['loss_u'].update(float(m['loss_u']), int(m['count_u']))
+        # weight meters by total point count like the reference
+        # (labels.size(0), tool/st.py:155,182) — valid counts can be 0
+        # when a mixed batch is all-ignore early in self-training
+        meters['loss_x'].update(float(m['loss_x']),
+                                max(int(m['count_x']), 1))
+        meters['loss_u'].update(float(m['loss_u']),
+                                max(int(m['count_u']), 1))
         meters['loss'].update(float(m['loss_x'] + m['loss_u']),
-                              int(m['count_u']))
+                              max(int(m['count_u']), 1))
         for k, mk in (('ix', 'intersection_x'), ('ux', 'union_x'),
                       ('tx', 'target_x'), ('iu', 'intersection_u'),
                       ('uu', 'union_u'), ('tu', 'target_u')):
