@@ -272,10 +272,10 @@ def knn_broadcast_labels(xyz_sub, labels_sub, xyz_all):
     the eval/pseudo-label path for cropped or downsampled scenes
     (ref: model/unet.py:135-145 via pointops.knnquery(1, ...)).
 
-    Host implementation on scipy's cKDTree (fast, exact); the device path
-    is ``knn(1, ...)``.
+    Host implementation on the native grid-hash NN (doda_tpu/native) with
+    a cKDTree fallback; the device path is ``knn(1, ...)``.
     """
-    from scipy.spatial import cKDTree
-    tree = cKDTree(np.asarray(xyz_sub))
-    _, idx = tree.query(np.asarray(xyz_all), k=1)
+    from ..native import host_ops
+    idx = host_ops.nn1(np.asarray(xyz_sub, np.float32),
+                       np.asarray(xyz_all, np.float32), cell=0.1)
     return np.asarray(labels_sub)[idx]
