@@ -158,6 +158,24 @@ class Dataset:
     # ---- collate ----
 
     def _pad_items(self, items):
+        """Pad scenes into the next capacity bucket.
+
+        Scenes beyond the largest bucket are randomly subsampled to fit;
+        the caller carries the full-resolution arrays so eval can 1-NN
+        broadcast predictions back (the fixed-capacity analog of the
+        reference's crop_to_regions + KNN re-stitch,
+        ref dataset/dataset.py:99-113 + model/unet.py:135-145).
+        """
+        max_cap = self.capacity_buckets[-1]
+        items = list(items)
+        overflow = {}
+        for i, it in enumerate(items):
+            n = it[0].shape[0]
+            if n > max_cap:
+                sel = self.rng.permutation(n)[:max_cap]
+                sel.sort()
+                overflow[i] = (it[1], it[2])  # full xyz_middle, labels
+                items[i] = (it[0][sel], it[1][sel], it[2][sel], *it[3:])
         lengths = [it[0].shape[0] for it in items]
         n_cap = pow2_bucket(max(lengths), self.capacity_buckets)
         b = len(items)
@@ -169,18 +187,18 @@ class Dataset:
         for i, it in enumerate(items):
             xyz_v, xyz_mid, label, idx = it[:4]
             n = xyz_v.shape[0]
-            coords[i, :n] = np.floor(xyz_v[:n_cap]).astype(np.int32)
+            coords[i, :n] = np.floor(xyz_v).astype(np.int32)
             feats[i, :n] = xyz_mid
             labels[i, :n] = label
             valid[i, :n] = True
             ids.append(idx)
-        return PointBatch(coords=coords, feats=feats, labels=labels,
-                          valid=valid), ids, lengths
+        return (PointBatch(coords=coords, feats=feats, labels=labels,
+                           valid=valid), ids, lengths, overflow)
 
     def collate_fn(self, items):
         """Train collate (ref: dataset/dataset.py:121-187). Extras carry
         TACM masks/queue payloads when present."""
-        points, ids, lengths = self._pad_items(items)
+        points, ids, lengths, _ = self._pad_items(items)
         extras = {}
         for it in items:
             if len(it) > 4 and isinstance(it[4], dict) and it[4]:
@@ -193,9 +211,22 @@ class Dataset:
         return CollatedBatch(points, ids, lengths, extras)
 
     def test_collate_fn(self, items):
-        """(ref: dataset/dataset.py:189-222)"""
-        points, ids, lengths = self._pad_items(items)
-        return CollatedBatch(points, ids, lengths)
+        """(ref: dataset/dataset.py:189-222). Oversized scenes come back
+        subsampled with their full-resolution arrays attached for 1-NN
+        prediction broadcast."""
+        points, ids, lengths, overflow = self._pad_items(items)
+        full = None
+        if overflow:
+            full = {'xyz_middle_all': [], 'label_all': []}
+            for i, it in enumerate(points.valid):
+                if i in overflow:
+                    full['xyz_middle_all'].append(overflow[i][0])
+                    full['label_all'].append(overflow[i][1])
+                else:
+                    n = lengths[i]
+                    full['xyz_middle_all'].append(points.feats[i, :n])
+                    full['label_all'].append(points.labels[i, :n])
+        return CollatedBatch(points, ids, lengths, full=full)
 
     def collate_batch(self, items):
         if not self.training:

@@ -78,7 +78,7 @@ class S3DISDataset(Dataset):
     def test_collate_fn(self, items):
         """Carry full-resolution arrays for KNN broadcast
         (ref: dataset/s3dis.py:89-130)."""
-        points, ids, lengths = self._pad_items(items)
+        points, ids, lengths, _ = self._pad_items(items)
         full = {
             'xyz_middle_all': [it[4]['xyz_middle_all'] for it in items],
             'label_all': [it[4]['label_all'] for it in items],

@@ -75,6 +75,32 @@ def lovasz_softmax(logits: jax.Array, labels: jax.Array,
     return (losses * p).sum() / jnp.maximum(p.sum(), 1.0)
 
 
+def soft_cross_entropy(logits: jax.Array, soft_labels: jax.Array,
+                       valid: jax.Array | None = None):
+    """CE against soft target distributions (the SOFT_LABEL branch,
+    ref: model/unet.py:174-194). soft_labels (N, C) rows sum to 1;
+    rows with top1 confidence == 1 are effectively hard labels."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    per_point = -(soft_labels * logp).sum(-1)
+    if valid is None:
+        valid = soft_labels.sum(-1) > 0
+    per_point = jnp.where(valid, per_point, 0.0)
+    return per_point.sum() / jnp.maximum(valid.sum(), 1)
+
+
+def soft_to_hard_labels(soft_labels: jax.Array, rng_key,
+                        ignore_label: int = 255):
+    """Sample hard labels from soft distributions (the convert_to_hard
+    path, ref: model/unet.py:179-182)."""
+    n_classes = soft_labels.shape[-1]
+    cum = jnp.cumsum(soft_labels, axis=-1)
+    u = jax.random.uniform(rng_key, soft_labels.shape[:-1] + (1,))
+    hard = n_classes - jnp.sum(cum > u, axis=-1)
+    empty = soft_labels.sum(-1) <= 0
+    return jnp.where(empty, ignore_label, jnp.clip(hard, 0,
+                                                   n_classes - 1))
+
+
 def build_criterion(cfg):
     """Loss factory keyed by OPTIMIZATION.loss (ref: model/unet.py:107-113)."""
     kind = cfg.OPTIMIZATION.get('loss', 'cross_entropy')
