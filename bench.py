@@ -65,30 +65,41 @@ def main():
     state = mf.init_state(cfg, model, tx, jax.random.PRNGKey(0))
     b_caps = default_brick_caps(BRICK_CAP, 7)
 
-    @jax.jit
-    def fwd(params, batch_stats, coords, feats, valid):
+    def fwd_once(params, batch_stats, coords, feats, valid):
         plan = build_level_plan(coords, valid, tuple(b_caps))
         logits = model.apply({'params': params, 'batch_stats': batch_stats},
                              feats, plan, train=False)
         return jnp.argmax(logits, -1).astype(jnp.int32)
+
+    @jax.jit
+    def fwd(params, batch_stats, coords, feats, valid):
+        return fwd_once(params, batch_stats, coords, feats, valid)
+
+    @jax.jit
+    def fwd_loop(params, batch_stats, coords, feats, valid, n):
+        # n timed iterations inside one jit so per-call tunnel dispatch
+        # (~30 ms on axon) doesn't pollute the measurement; feats are
+        # perturbed per step so XLA cannot CSE the iterations away.
+        def body(i, acc):
+            out = fwd_once(params, batch_stats, coords,
+                           feats + (i.astype(jnp.float32) * 1e-6), valid)
+            return acc + out.sum()
+        return jax.lax.fori_loop(0, n, body, jnp.int32(0))
 
     coords_d, feats_d, valid_d = map(jnp.asarray, (coords, feats, valid))
 
     # NB: block_until_ready returns early on some platform plugins
     # (observed on the axon tunnel); force completion with a host fetch
     # of a reduction over the output.
-    def run():
-        out = fwd(state.params, state.batch_stats, coords_d, feats_d,
-                  valid_d)
-        return int(jnp.sum(out))
+    def run(n):
+        return int(fwd_loop(state.params, state.batch_stats, coords_d,
+                            feats_d, valid_d, jnp.int32(n)))
 
-    run()  # compile + warm
+    run(1)  # compile + warm
 
     n_iters = 10
     t0 = time.perf_counter()
-    sink = 0
-    for _ in range(n_iters):
-        sink += run()
+    sink = run(n_iters)
     dt = time.perf_counter() - t0
 
     scenes_per_sec = BATCH * n_iters / dt

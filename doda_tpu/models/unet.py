@@ -30,8 +30,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops import bricks
-from ..ops.bricks import (BRICK, BrickDown, BrickGrid, brick_feats, brickify,
+from ..ops.bricks import (BrickGrid, brick_feats, brickify,
                           build_brick_downsample, build_brick_rulebook,
                           down_conv2, subm_conv3, unbrick_feats, up_conv2)
 

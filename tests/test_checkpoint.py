@@ -1,7 +1,6 @@
 """Checkpoint lifecycle: save/resume/pretrain/best/rolling-delete."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from doda_tpu.config import CfgNode

@@ -89,7 +89,7 @@ OPTIMIZATION: {optim: sgd, base_lr: 0.01, momentum: 0.9,
     assert 'unconverted' not in out.stdout, out.stdout
 
     # strict-load into the matching model
-    from doda_tpu.config import cfg as _c, CfgNode, cfg_from_yaml_file
+    from doda_tpu.config import CfgNode, cfg_from_yaml_file
     cfg = CfgNode()
     cfg_from_yaml_file(str(cfg_file), cfg)
     from doda_tpu.models import model_fn as mf
