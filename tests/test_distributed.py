@@ -44,7 +44,7 @@ def make_batch(rng, batch=8, n_cap=256):
         valid=jnp.asarray(valid))
 
 
-@pytest.fixture
+@pytest.fixture(scope='module')
 def setup():
     cfg = make_cfg()
     model = mf.build_model(cfg)

@@ -61,7 +61,7 @@ def test_unet_train_step_decreases_loss(rng):
         return optax.apply_updates(params, upd), new_bs, opt_state, loss
 
     losses = []
-    for _ in range(8):
+    for _ in range(5):
         params, batch_stats, opt_state, loss = step(params, batch_stats,
                                                     opt_state)
         losses.append(float(loss))
