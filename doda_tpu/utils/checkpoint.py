@@ -140,12 +140,19 @@ def load_metric_from_ckpt(path):
 
 
 def auto_resume_path(ckpt_dir):
-    """Newest train_epoch_* checkpoint (ref: tool/train.py:350-353)."""
+    """Highest-epoch train_epoch_* checkpoint (ref: tool/train.py:350-353
+    parses epoch numbers from filenames; mtime would silently resume a
+    copied/touched file at the wrong epoch)."""
+    def epoch_of(path):
+        tail = os.path.basename(path).rsplit('train_epoch_', 1)[-1]
+        digits = ''.join(ch for ch in tail if ch.isdigit())
+        return int(digits) if digits else -1
+
     cands = [c for c in glob.glob(str(ckpt_dir / 'train_epoch_*'))
-             if os.path.isfile(c)]
+             if os.path.isfile(c) and epoch_of(c) >= 0]
     if not cands:
         return None
-    cands.sort(key=os.path.getmtime)
+    cands.sort(key=epoch_of)
     return cands[-1]
 
 

@@ -26,6 +26,7 @@ from doda_tpu.data import get_dataset
 from doda_tpu.data.loader import DataReader
 from doda_tpu.models import model_fn as mf
 from doda_tpu.models.unet import default_brick_caps
+from doda_tpu.parallel.collectives import make_mesh, replicate
 from doda_tpu.utils import checkpoint as ckpt_utils
 from doda_tpu.utils import pseudo_labels as pl_utils
 from doda_tpu.utils.logging import get_logger, make_writer
@@ -70,7 +71,7 @@ def parse_config():
 
 
 def set_pseudo_labels(args, cfg, logger, tar_data, tar_loader, state,
-                      eval_step, pseudo_labels_dir):
+                      eval_step, pseudo_labels_dir, mesh=None):
     """Generate + install pseudo labels
     (ref: util/pseudo_labels_util.py:157-176 set_pseudo_labels).
 
@@ -90,7 +91,7 @@ def set_pseudo_labels(args, cfg, logger, tar_data, tar_loader, state,
         def sweep(fn):
             for batch in tar_loader:
                 out = eval_step(state.params, state.batch_stats,
-                                to_device(batch.points), 1)
+                                to_device(batch.points, mesh), 1)
                 fn(batch, out)
 
         def collect_hist():
@@ -150,7 +151,7 @@ def update_split_sampler(split_sampler, extras, num_c, update_ratio):
 
 
 def train_epoch(args, cfg, logger, writer, source_reader, tar_loader,
-                split_sampler, state, st_step, lr_fn, epoch):
+                split_sampler, state, st_step, lr_fn, epoch, mesh=None):
     """(ref: tool/st.py:100-271)"""
     meters = {k: AverageMeter() for k in
               ('batch', 'data', 'loss', 'loss_x', 'loss_u')}
@@ -168,8 +169,8 @@ def train_epoch(args, cfg, logger, writer, source_reader, tar_loader,
         meters['data'].update(time.time() - end)
         source_batch = source_reader.read_data()
         lr = float(lr_fn(epoch, i))
-        state, m = st_step(state, to_device(source_batch.points),
-                           to_device(batch.points), lr, w_src, w_tar)
+        state, m = st_step(state, to_device(source_batch.points, mesh),
+                           to_device(batch.points, mesh), lr, w_src, w_tar)
         m = jax.tree.map(np.asarray, m)
         # weight meters by total point count like the reference
         # (labels.size(0), tool/st.py:155,182) — valid counts can be 0
@@ -199,7 +200,8 @@ def train_epoch(args, cfg, logger, writer, source_reader, tar_loader,
         remain = (max_iter - current_iter) * meters['batch'].avg
         t_m, t_s = divmod(remain, 60)
         t_h, t_m = divmod(t_m, 60)
-        if (i + 1) % args.print_freq == 0 or i == n_iter - 1:
+        # last processed iteration is n_iter - 2 (final batch is dropped)
+        if (i + 1) % args.print_freq == 0 or i == n_iter - 2:
             logger.info(
                 'Epoch: [{}/{}][{}/{}] Data {:.3f} ({:.3f}) '
                 'Batch {:.3f} ({:.3f}) Remain {:02d}:{:02d}:{:02d} '
@@ -243,6 +245,11 @@ def main():
         else args.epochs
     if args.manual_seed is not None:
         np.random.seed(args.manual_seed)
+
+    # data-parallel mesh over all local devices (see tools/train.py)
+    mesh = make_mesh()
+    args.batch_size = args.batch_size * mesh.devices.size
+    world_size, rank = jax.process_count(), jax.process_index()
 
     output_dir = cfg.ROOT_DIR / 'output' / cfg.EXP_GROUP_PATH / cfg.TAG \
         / args.extra_tag
@@ -290,8 +297,12 @@ def main():
     if best:
         best_miou, best_epoch = ckpt_utils.load_metric_from_ckpt(best[0])
 
+    if mesh.devices.size > 1:
+        state = replicate(mesh, state)
     (src_loader, src_sampler, tar_data, tar_loader, tar_sampler,
-     val_loader, _) = get_dataset(cfg, args, dist=False, logger=logger)
+     val_loader, _) = get_dataset(cfg, args, dist=world_size > 1,
+                                  logger=logger, world_size=world_size,
+                                  rank=rank)
     source_reader = DataReader(src_loader, src_sampler)
     split_sampler = getattr(tar_data, 'split_sampler', None)
     sampler_path = output_dir / 'split_sampler.pkl'
@@ -306,7 +317,8 @@ def main():
     # initial eval (ref: tool/st.py:349)
     miou = validate_epoch(args, cfg, logger, writer, val_loader, state,
                           eval_step, args.start_epoch - 1,
-                          domain=1 if cfg.MODEL.get('dsnorm', False) else 0)
+                          domain=1 if cfg.MODEL.get('dsnorm', False) else 0,
+                          mesh=mesh)
     logger.info('Initial val mIoU: {:.4f}'.format(miou))
 
     tacm_cfg = cfg.DATA_CONFIG_TAR.DATA_AUG.tacm
@@ -314,7 +326,7 @@ def main():
         # pseudo labels (first epoch or resumed via done.txt sentinel)
         generated = set_pseudo_labels(args, cfg, logger, tar_data,
                                       tar_loader, state, eval_step,
-                                      pseudo_labels_dir)
+                                      pseudo_labels_dir, mesh=mesh)
         if split_sampler is not None and not split_sampler.initialized:
             class_ratio = pl_utils.load_class_ratio(pseudo_labels_dir)
             split_sampler.init_class_ratio({'class_ratio': class_ratio})
@@ -327,7 +339,7 @@ def main():
         source_reader.set_cur_epoch(epoch)
         state = train_epoch(args, cfg, logger, writer, source_reader,
                             tar_loader, split_sampler, state, st_step,
-                            lr_fn, epoch)
+                            lr_fn, epoch, mesh=mesh)
         epoch_log = epoch + 1
         if epoch_log % args.ckpt_save_freq == 0:
             filename = ckpt_dir / f'train_epoch_{epoch_log}'
@@ -340,7 +352,8 @@ def main():
                 and epoch_log % cfg.EVALUATION.eval_freq == 0:
             miou = validate_epoch(
                 args, cfg, logger, writer, val_loader, state, eval_step,
-                epoch, domain=1 if cfg.MODEL.get('dsnorm', False) else 0)
+                epoch, domain=1 if cfg.MODEL.get('dsnorm', False) else 0,
+                mesh=mesh)
             if miou > best_miou:
                 best_miou, best_epoch = miou, epoch_log
                 ckpt_utils.save_params(ckpt_dir / 'best_train', state,

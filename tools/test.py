@@ -22,6 +22,7 @@ from doda_tpu.data import build_dataloader
 from doda_tpu.models import model_fn as mf
 from doda_tpu.models.unet import default_brick_caps
 from doda_tpu.ops.pointops import knn_broadcast_labels
+from doda_tpu.parallel.collectives import make_mesh, replicate, shard_batch
 from doda_tpu.utils import checkpoint as ckpt_utils
 from doda_tpu.utils.logging import get_logger
 from doda_tpu.utils.metrics import (AverageMeter, calc_metrics,
@@ -58,12 +59,20 @@ def parse_config():
     return args, cfg
 
 
-def to_device(points):
+def to_device(points, mesh=None):
     import jax.numpy as jnp
+    if mesh is not None and mesh.devices.size > 1:
+        return shard_batch(mesh, points)
     return jax.tree.map(jnp.asarray, points)
 
 
-def test_one_epoch(args, cfg, logger, loader, state, eval_step, result_dir):
+def _log_softmax(x):
+    x = x - x.max(axis=-1, keepdims=True)
+    return x - np.log(np.exp(x).sum(axis=-1, keepdims=True))
+
+
+def test_one_epoch(args, cfg, logger, loader, state, eval_step, result_dir,
+                   mesh=None):
     """(ref: tool/test.py:103-200)"""
     n_classes = cfg.COMMON_CLASSES.n_classes
     ignore = cfg.DATA_CONFIG_TAR.DATA_CLASS.ignore_label
@@ -72,10 +81,26 @@ def test_one_epoch(args, cfg, logger, loader, state, eval_step, result_dir):
     batch_time = AverageMeter()
     domain = 0 if args.eval_src else (
         1 if cfg.MODEL.get('dsnorm', False) else 0)
+    n_total = len(loader.dataset)
+    samp = getattr(loader, 'sampler', None)
+    if samp is not None and samp.world_size > 1:
+        # rank's shard takes global positions rank::world of the padded,
+        # tiled index list; positions < n_total are first occurrences
+        n_total = max(0, -(-(n_total - samp.rank) // samp.world_size))
+    n_seen = 0
     end = time.time()
     for i, batch in enumerate(loader):
+        # exact-count duplicate trimming: sampler-padded scenes at the tail
+        # of the last batch are masked out of metrics and skipped in dumps
+        # (ref tool/test.py:138-141)
+        n_real = min(batch.points.valid.shape[0], n_total - n_seen)
+        n_seen += batch.points.valid.shape[0]
+        points = batch.points
+        if n_real < points.valid.shape[0]:
+            mask = (np.arange(points.valid.shape[0]) < n_real)[:, None]
+            points = points._replace(valid=points.valid & mask)
         out = eval_step(state.params, state.batch_stats,
-                        to_device(batch.points), domain)
+                        to_device(points, mesh), domain)
         preds = np.asarray(out['preds'])
         if batch.full is not None:
             # crop -> full-resolution 1-NN broadcast (ref model/unet.py:135-145)
@@ -84,21 +109,30 @@ def test_one_epoch(args, cfg, logger, loader, state, eval_step, result_dir):
             union = np.zeros(n_classes, np.int64)
             target = np.zeros(n_classes, np.int64)
             full_preds = []
-            for b in range(preds.shape[0]):
+            loss_sum, count = 0.0, 0
+            for b in range(min(preds.shape[0], n_real)):
                 n = batch.lengths[b]
-                bp = knn_broadcast_labels(
+                nn_idx = knn_broadcast_labels(
                     np.asarray(batch.points.feats[b, :n]),
-                    preds[b, :n],
+                    np.arange(n, dtype=np.int32),
                     batch.full['xyz_middle_all'][b])
-                labels_all = batch.full['label_all'][b]
+                bp = preds[b, :n][nn_idx]
+                labels_all = batch.full['label_all'][b].astype(np.int32)
                 ii, uu, tt = (np.asarray(x) for x in intersection_and_union(
-                    bp, labels_all.astype(np.int32), n_classes, ignore))
+                    bp, labels_all, n_classes, ignore))
                 inter += ii
                 union += uu
                 target += tt
                 full_preds.append(bp)
-            loss = float(out['loss'])
-            count = sum(len(p) for p in full_preds)
+                # loss on broadcast logits vs full-res labels
+                # (ref model/unet.py:141-145)
+                lp = _log_softmax(logits[b, :n].astype(np.float64))[nn_idx]
+                keep = labels_all != ignore
+                if keep.any():
+                    loss_sum += float(
+                        -lp[keep, labels_all[keep]].sum())
+                    count += int(keep.sum())
+            loss = loss_sum / max(count, 1)
             preds_for_save = full_preds
         else:
             inter = np.asarray(out['intersection'])
@@ -107,7 +141,7 @@ def test_one_epoch(args, cfg, logger, loader, state, eval_step, result_dir):
             loss = float(out['loss'])
             count = int(out['count'])
             preds_for_save = [preds[b, :batch.lengths[b]]
-                              for b in range(preds.shape[0])]
+                              for b in range(min(preds.shape[0], n_real))]
 
         loss_meter.update(loss, max(count, 1))
         inter_m.update(inter)
@@ -117,7 +151,7 @@ def test_one_epoch(args, cfg, logger, loader, state, eval_step, result_dir):
         if args.save_to_file:
             os.makedirs(result_dir / 'txt', exist_ok=True)
             data_list = loader.dataset.get_data_list()
-            for b, idx in enumerate(batch.ids):
+            for b, idx in enumerate(batch.ids[:n_real]):
                 name = os.path.basename(str(data_list[idx])).split('.')[0]
                 np.savetxt(result_dir / 'txt' / f'{name}.txt',
                            preds_for_save[b].astype(np.uint8), fmt='%d')
@@ -125,7 +159,7 @@ def test_one_epoch(args, cfg, logger, loader, state, eval_step, result_dir):
             os.makedirs(result_dir / 'logit', exist_ok=True)
             logits = np.asarray(out['output'])
             data_list = loader.dataset.get_data_list()
-            for b, idx in enumerate(batch.ids):
+            for b, idx in enumerate(batch.ids[:n_real]):
                 name = os.path.basename(str(data_list[idx])).split('.')[0]
                 np.save(result_dir / 'logit' / f'{name}.npy',
                         logits[b, :batch.lengths[b]])
@@ -154,6 +188,9 @@ def main():
     args, _ = parse_config()
     if args.batch_size is None:
         args.batch_size = cfg.OPTIMIZATION.BATCH_SIZE_PER_GPU
+    mesh = make_mesh()
+    args.batch_size = args.batch_size * mesh.devices.size
+    world_size, rank = jax.process_count(), jax.process_index()
     output_dir = cfg.ROOT_DIR / 'output' / cfg.EXP_GROUP_PATH / cfg.TAG \
         / args.extra_tag
     eval_dir = output_dir / 'eval'
@@ -177,11 +214,14 @@ def main():
         state = ckpt_utils.load_params_from_pretrain(args.ckpt, state,
                                                      strict=True,
                                                      logger=logger)
+    if mesh.devices.size > 1:
+        state = replicate(mesh, state)
     _, loader, _ = build_dataloader(
-        cfg.DATA_CONFIG_TAR, args.batch_size, dist=False,
+        cfg.DATA_CONFIG_TAR, args.batch_size, dist=world_size > 1,
         workers=args.workers, logger=logger, split=args.split,
-        training=False)
-    test_one_epoch(args, cfg, logger, loader, state, eval_step, eval_dir)
+        training=False, world_size=world_size, rank=rank)
+    test_one_epoch(args, cfg, logger, loader, state, eval_step, eval_dir,
+                   mesh=mesh)
 
 
 if __name__ == '__main__':

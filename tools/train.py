@@ -23,6 +23,7 @@ from doda_tpu.config import (cfg, cfg_from_list, cfg_from_yaml_file,
                              log_config_to_file)
 from doda_tpu.data import get_src_train_dataset, get_val_dataset
 from doda_tpu.models import model_fn as mf
+from doda_tpu.parallel.collectives import make_mesh, replicate, shard_batch
 from doda_tpu.models.unet import default_brick_caps
 from doda_tpu.utils import checkpoint as ckpt_utils
 from doda_tpu.utils.logging import get_logger, make_writer
@@ -58,6 +59,9 @@ def parse_config():
     parser.add_argument('--set', dest='set_cfgs', default=None,
                         nargs=argparse.REMAINDER)
     parser.add_argument('--pin_memory', action='store_true')
+    parser.add_argument('--profile', type=int, default=0,
+                        help='capture a jax.profiler trace of the first N '
+                             'train steps into <output_dir>/profile')
     args = parser.parse_args()
 
     cfg_from_yaml_file(args.cfg_file, cfg)
@@ -68,13 +72,30 @@ def parse_config():
     return args, cfg
 
 
-def to_device(points):
+def to_device(points, mesh=None):
+    """Host batch -> device(s). With a >1-device mesh the batch dim is
+    sharded over the ``data`` axis, making every jitted step a GSPMD
+    program (the DDP equivalent of ref tool/train.py:360-362)."""
     import jax.numpy as jnp
+    if mesh is not None and mesh.devices.size > 1:
+        return shard_batch(mesh, points)
     return jax.tree.map(jnp.asarray, points)
 
 
+def mask_padded_scenes(points, n_real):
+    """Exact-count duplicate trimming for sharded/padded eval batches:
+    scenes at positions >= n_real are sampler padding (duplicates of
+    already-scored scenes); blank their masks so metrics count every
+    dataset sample exactly once (ref tool/test.py:138-141,
+    tool/train.py:183-186)."""
+    if n_real >= points.valid.shape[0]:
+        return points
+    mask = (np.arange(points.valid.shape[0]) < n_real)[:, None]
+    return points._replace(valid=points.valid & mask)
+
+
 def train_epoch(args, cfg, logger, writer, train_loader, state, train_step,
-                lr_fn, epoch, domain=0):
+                lr_fn, epoch, domain=0, mesh=None, profile_dir=None):
     """(ref: tool/train.py:69-158)"""
     batch_time = AverageMeter()
     data_time = AverageMeter()
@@ -83,12 +104,20 @@ def train_epoch(args, cfg, logger, writer, train_loader, state, train_step,
     end = time.time()
     n_iter = len(train_loader)
     max_iter = args.epochs * n_iter
+    n_dev = mesh.devices.size if mesh is not None else 1
+    scene_meter = AverageMeter()
     for i, batch in enumerate(train_loader):
         data_time.update(time.time() - end)
         lr = float(lr_fn(epoch, i))
-        state, metrics = train_step(state, to_device(batch.points), lr,
-                                    domain)
+        if profile_dir and epoch == args.start_epoch and i == 0:
+            jax.profiler.start_trace(str(profile_dir))
+        state, metrics = train_step(state, to_device(batch.points, mesh),
+                                    lr, domain)
         metrics = jax.tree.map(np.asarray, metrics)
+        if profile_dir and epoch == args.start_epoch \
+                and i + 1 == min(args.profile, n_iter):
+            jax.profiler.stop_trace()
+            logger.info('profiler trace written to %s' % profile_dir)
         loss_meter.update(float(metrics['loss']), int(metrics['count']))
         inter_m.update(metrics['intersection'])
         union_m.update(metrics['union'])
@@ -96,6 +125,8 @@ def train_epoch(args, cfg, logger, writer, train_loader, state, train_step,
         accuracy = inter_m.val.sum() / (target_m.val.sum() + 1e-10)
 
         batch_time.update(time.time() - end)
+        scene_meter.update(
+            batch.points.valid.shape[0] / max(batch_time.val, 1e-9) / n_dev)
         end = time.time()
         current_iter = epoch * n_iter + i + 1
         remain = (max_iter - current_iter) * batch_time.avg
@@ -107,10 +138,12 @@ def train_epoch(args, cfg, logger, writer, train_loader, state, train_step,
             logger.info(
                 'Epoch: [{}/{}][{}/{}] '
                 'Data {:.3f} ({:.3f}) Batch {:.3f} ({:.3f}) '
-                'Remain {} Loss {:.4f} Accuracy {:.4f}.'.format(
+                'Remain {} Loss {:.4f} Accuracy {:.4f} '
+                'Scenes/sec/chip {:.2f} ({:.2f}).'.format(
                     epoch + 1, args.epochs, i + 1, n_iter,
                     data_time.val, data_time.avg, batch_time.val,
-                    batch_time.avg, remain_time, loss_meter.val, accuracy))
+                    batch_time.avg, remain_time, loss_meter.val, accuracy,
+                    scene_meter.val, scene_meter.avg))
         writer.add_scalar('loss_train_batch', loss_meter.val, current_iter)
         writer.add_scalar('mIoU_train_batch', float(np.mean(
             metrics['intersection'] / (metrics['union'] + 1e-10))),
@@ -131,14 +164,22 @@ def train_epoch(args, cfg, logger, writer, train_loader, state, train_step,
 
 
 def validate_epoch(args, cfg, logger, writer, val_loader, state, eval_step,
-                   epoch, domain=0):
+                   epoch, domain=0, mesh=None):
     """(ref: tool/train.py:161-232)"""
     logger.info('>>>>>>>>>>>>>>>> Start Evaluation >>>>>>>>>>>>>>>>')
     loss_meter = AverageMeter()
     inter_m, union_m, target_m = (AverageMeter() for _ in range(3))
+    n_total = len(val_loader.dataset)
+    samp = getattr(val_loader, 'sampler', None)
+    if samp is not None and samp.world_size > 1:
+        # this rank's share of unique (non-padded) samples
+        n_total = max(0, -(-(n_total - samp.rank) // samp.world_size))
+    n_seen = 0
     for i, batch in enumerate(val_loader):
+        points = mask_padded_scenes(batch.points, n_total - n_seen)
+        n_seen += points.valid.shape[0]
         out = eval_step(state.params, state.batch_stats,
-                        to_device(batch.points), domain)
+                        to_device(points, mesh), domain)
         out = {k: np.asarray(v) for k, v in out.items()
                if k in ('loss', 'intersection', 'union', 'target', 'count')}
         loss_meter.update(float(out['loss']), int(out['count']))
@@ -170,7 +211,7 @@ def validate_epoch(args, cfg, logger, writer, val_loader, state, eval_step,
 
 def train(args, cfg, logger, writer, state, train_step, eval_step,
           train_loader, val_loader, train_sampler, lr_fn, ckpt_dir,
-          best_miou=None, best_epoch=0):
+          best_miou=None, best_epoch=0, mesh=None, profile_dir=None):
     """(ref: tool/train.py:235-268)"""
     dsnorm = cfg.MODEL.get('dsnorm', False)
     best_miou = best_miou if best_miou is not None else 0.0
@@ -178,8 +219,8 @@ def train(args, cfg, logger, writer, state, train_step, eval_step,
         if train_sampler is not None:
             train_sampler.set_epoch(epoch)
         state = train_epoch(args, cfg, logger, writer, train_loader, state,
-                            train_step, lr_fn, epoch,
-                            domain=0 if dsnorm else 0)
+                            train_step, lr_fn, epoch, domain=0,
+                            mesh=mesh, profile_dir=profile_dir)
         epoch_log = epoch + 1
         if epoch_log % args.ckpt_save_freq == 0:
             filename = ckpt_dir / f'train_epoch_{epoch_log}'
@@ -192,7 +233,7 @@ def train(args, cfg, logger, writer, state, train_step, eval_step,
                 and epoch_log % cfg.EVALUATION.eval_freq == 0:
             miou_val = validate_epoch(args, cfg, logger, writer, val_loader,
                                       state, eval_step, epoch,
-                                      domain=1 if dsnorm else 0)
+                                      domain=1 if dsnorm else 0, mesh=mesh)
             if miou_val > best_miou:
                 best_miou = miou_val
                 best_epoch = epoch_log
@@ -214,6 +255,16 @@ def main():
         else args.epochs
     if args.manual_seed is not None:
         np.random.seed(args.manual_seed)
+
+    # Data parallelism: one process drives all local devices; the per-step
+    # batch is batch_size (per device, like the reference's
+    # BATCH_SIZE_PER_GPU) x local devices, sharded over the mesh. Multiple
+    # hosts shard the dataset via world_size/rank (ref DDP launch,
+    # util/common_utils.py:86-126).
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    args.batch_size = args.batch_size * n_dev
+    world_size, rank = jax.process_count(), jax.process_index()
 
     output_dir = cfg.ROOT_DIR / 'output' / cfg.EXP_GROUP_PATH / cfg.TAG \
         / args.extra_tag
@@ -263,17 +314,28 @@ def main():
         best_miou, best_epoch = ckpt_utils.load_metric_from_ckpt(best[0])
 
     # data
+    dist = world_size > 1
     _, train_loader, train_sampler = get_src_train_dataset(
-        cfg, args, dist=False, logger=logger)
-    val_loader, _ = get_val_dataset(args, cfg.DATA_CONFIG_TAR, dist=False,
-                                    logger=logger)
+        cfg, args, dist=dist, logger=logger, world_size=world_size,
+        rank=rank)
+    val_loader, _ = get_val_dataset(args, cfg.DATA_CONFIG_TAR, dist=dist,
+                                    logger=logger, world_size=world_size,
+                                    rank=rank)
     lr_fn = make_lr_fn(cfg.OPTIMIZATION, args.epochs, len(train_loader))
+
+    if n_dev > 1:
+        state = replicate(mesh, state)
+    profile_dir = None
+    if args.profile:
+        profile_dir = output_dir / 'profile'
+        profile_dir.mkdir(parents=True, exist_ok=True)
 
     logger.info('********* Start training %s/%s(%s) *********' % (
         cfg.EXP_GROUP_PATH, cfg.TAG, args.extra_tag))
     train(args, cfg, logger, writer, state, train_step, eval_step,
           train_loader, val_loader, train_sampler, lr_fn, ckpt_dir,
-          best_miou=best_miou, best_epoch=best_epoch)
+          best_miou=best_miou, best_epoch=best_epoch, mesh=mesh,
+          profile_dir=profile_dir)
 
 
 if __name__ == '__main__':
