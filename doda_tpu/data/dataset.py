@@ -29,15 +29,19 @@ def pow2_bucket(n: int, buckets) -> int:
 
 
 class CollatedBatch:
-    """A PointBatch plus host-side metadata the jitted step doesn't see."""
+    """A PointBatch plus host-side metadata the jitted step doesn't see.
+
+    ``groups`` (region eval only): one entry per dataset scene, listing
+    the batch rows holding that scene's crop regions."""
 
     def __init__(self, points: PointBatch, ids, lengths, extras=None,
-                 full=None):
+                 full=None, groups=None):
         self.points = points
         self.ids = ids
         self.lengths = lengths
         self.extras = extras or {}
         self.full = full  # full-resolution arrays for crop_to_regions eval
+        self.groups = groups
 
 
 class Dataset:
@@ -65,6 +69,7 @@ class Dataset:
             self.class_names = common
         self.ignore_label = cfg.DATA_CLASS.ignore_label
         self.pseudo_labels_dir = None
+        self.use_soft_labels = False
         self.rng = np.random.default_rng(seed)
 
         self.aug = cfg.DATA_AUG
@@ -102,6 +107,16 @@ class Dataset:
             raise ValueError(
                 f"pseudo label path {pseudo_labels_dir} doesn't exist.")
 
+    def set_soft_labels(self, enabled: bool):
+        """SOFT_LABEL mode: ``__getitem__`` skips augmentation (soft rows
+        must stay point-aligned with the raw scene) and attaches the
+        (N, C) distribution from the pseudo-label store."""
+        self.use_soft_labels = bool(enabled)
+
+    def load_soft_labels(self, data_name):
+        from ..utils.pseudo_labels import load_scene_soft_labels
+        return load_scene_soft_labels(self.pseudo_labels_dir, data_name)
+
     def load_pseudo_labels(self, data_name):
         """int labels, one file per scene. Prefers the npy store; falls
         back to the reference's txt format (dataset/dataset.py:85-88)."""
@@ -117,9 +132,11 @@ class Dataset:
         idx.sort()
         return idx
 
-    def crop_to_regions(self, xyz_all):
-        """Quadrant split for >6M-point scenes (ref: dataset.py:99-113)."""
-        if xyz_all.shape[0] <= 6_000_000:
+    def crop_to_regions(self, xyz_all, threshold=6_000_000):
+        """Overlapping quadrant masks (ref: dataset.py:99-113 — defined
+        but never called upstream; wired here behind
+        ``DATA_PROCESSOR.region_eval``)."""
+        if xyz_all.shape[0] <= threshold:
             return []
         xyz_max, xyz_min = xyz_all.max(0), xyz_all.min(0)
         x_mid = (xyz_max[0] + xyz_min[0]) / 2.0
@@ -130,6 +147,29 @@ class Dataset:
             (xyz_all[:, 0] < x_mid + 0.5) & (xyz_all[:, 1] > y_mid - 0.5),
             (xyz_all[:, 0] < x_mid + 0.5) & (xyz_all[:, 1] < y_mid + 0.5),
         ]
+
+    def split_to_regions(self, xyz_v, xyz_mid, label):
+        """Recursively quadrant-split an oversized scene into regions
+        that fit the largest capacity bucket; every point lands in at
+        least one region (overlaps allowed), so eval drops nothing."""
+        max_cap = self.capacity_buckets[-1]
+        out = []
+        stack = [(xyz_v, xyz_mid, label)]
+        while stack:
+            xv, xm, lb = stack.pop()
+            masks = self.crop_to_regions(xm, threshold=max_cap)
+            # degenerate split (all points inside the overlap band):
+            # fall back to a random exact-cap subsample of this region
+            if not masks or any(m.sum() >= xm.shape[0] for m in masks):
+                if xm.shape[0] > max_cap:
+                    sel = self.rng.permutation(xm.shape[0])[:max_cap]
+                    sel.sort()
+                    xv, xm, lb = xv[sel], xm[sel], lb[sel]
+                out.append((xv, xm, lb))
+                continue
+            for m in masks:
+                stack.append((xv[m], xm[m], lb[m]))
+        return out
 
     def __len__(self):
         return len(self.data_list)
@@ -175,7 +215,11 @@ class Dataset:
                 sel = self.rng.permutation(n)[:max_cap]
                 sel.sort()
                 overflow[i] = (it[1], it[2])  # full xyz_middle, labels
-                items[i] = (it[0][sel], it[1][sel], it[2][sel], *it[3:])
+                info = it[4] if len(it) > 4 else {}
+                if isinstance(info, dict) and 'soft' in info:
+                    info = dict(info, soft=info['soft'][sel])
+                items[i] = (it[0][sel], it[1][sel], it[2][sel], it[3],
+                            info, *it[5:])
         lengths = [it[0].shape[0] for it in items]
         n_cap = pow2_bucket(max(lengths), self.capacity_buckets)
         b = len(items)
@@ -193,12 +237,12 @@ class Dataset:
             valid[i, :n] = True
             ids.append(idx)
         return (PointBatch(coords=coords, feats=feats, labels=labels,
-                           valid=valid), ids, lengths, overflow)
+                           valid=valid), ids, lengths, overflow, items)
 
     def collate_fn(self, items):
         """Train collate (ref: dataset/dataset.py:121-187). Extras carry
         TACM masks/queue payloads when present."""
-        points, ids, lengths, _ = self._pad_items(items)
+        points, ids, lengths, _, items = self._pad_items(items)
         extras = {}
         for it in items:
             if len(it) > 4 and isinstance(it[4], dict) and it[4]:
@@ -208,13 +252,35 @@ class Dataset:
                 if 'tar_splits_class_ratio' in info:
                     extras.setdefault('tar_splits_class_ratio', []).append(
                         info['tar_splits_class_ratio'])
+        if any(len(it) > 4 and isinstance(it[4], dict) and 'soft' in it[4]
+               for it in items):
+            n_cap = points.valid.shape[1]
+            n_cls = next(it[4]['soft'].shape[-1] for it in items
+                         if len(it) > 4 and 'soft' in it[4])
+            soft = np.zeros((len(items), n_cap, n_cls), np.float32)
+            for i, it in enumerate(items):
+                s = it[4].get('soft') if len(it) > 4 else None
+                if s is not None:
+                    soft[i, :s.shape[0]] = s.astype(np.float32)
+            extras['soft_labels'] = soft
         return CollatedBatch(points, ids, lengths, extras)
 
     def test_collate_fn(self, items):
-        """(ref: dataset/dataset.py:189-222). Oversized scenes come back
-        subsampled with their full-resolution arrays attached for 1-NN
-        prediction broadcast."""
-        points, ids, lengths, overflow = self._pad_items(items)
+        """(ref: dataset/dataset.py:189-222). Two oversized-scene modes:
+
+        * default: subsample to the largest bucket, carry full-res arrays
+          and 1-NN broadcast predictions back — this matches the
+          reference's ACTUAL eval behavior (its ``crop_to_regions``
+          method is dead code; the real path is the downsampling_scale
+          subsample + knnquery broadcast, dataset/s3dis.py:60-63 +
+          model/unet.py:135-145);
+        * ``DATA_PROCESSOR.region_eval``: recursive quadrant split —
+          every point is forwarded through the network in some region,
+          then predictions restitch via 1-NN over the region union.
+        """
+        if self.cfg.DATA_PROCESSOR.get('region_eval', False):
+            return self._region_collate(items)
+        points, ids, lengths, overflow, items = self._pad_items(items)
         full = None
         if overflow:
             full = {'xyz_middle_all': [], 'label_all': []}
@@ -227,6 +293,23 @@ class Dataset:
                     full['xyz_middle_all'].append(points.feats[i, :n])
                     full['label_all'].append(points.labels[i, :n])
         return CollatedBatch(points, ids, lengths, full=full)
+
+    def _region_collate(self, items):
+        """Region-split eval collate: oversized scenes expand into one
+        row per quadrant region; ``groups[i]`` lists scene i's rows."""
+        rows, groups, ids = [], [], []
+        full = {'xyz_middle_all': [], 'label_all': []}
+        for it in items:
+            xyz_v, xyz_mid, label, idx = it[:4]
+            ids.append(idx)
+            full['xyz_middle_all'].append(xyz_mid)
+            full['label_all'].append(label)
+            regions = self.split_to_regions(xyz_v, xyz_mid, label)
+            groups.append(list(range(len(rows), len(rows) + len(regions))))
+            rows.extend((xv, xm, lb, idx) for xv, xm, lb in regions)
+        points, _, lengths, _, _ = self._pad_items(rows)
+        return CollatedBatch(points, ids, lengths, full=full,
+                             groups=groups)
 
     def collate_batch(self, items):
         if not self.training:

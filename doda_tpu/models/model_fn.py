@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.metrics import intersection_and_union
-from .losses import cross_entropy, lovasz_softmax
+from .losses import (cross_entropy, lovasz_softmax, soft_cross_entropy,
+                     soft_to_hard_labels)
 from .unet import SparseConvNet, build_level_plan
 
 
@@ -181,8 +182,47 @@ def make_steps(cfg, model: SparseConvNet, tx, b_caps):
         out['confidence'] = confidence
         return out
 
+    def soft_label_loss(logits, soft_labels, valid, rng):
+        """Hard/soft split target loss (the SOFT_LABEL branch the
+        reference declares but never wires — ref model/unet.py:174-194;
+        its helpers ``get_hard_and_soft_loss``/``soft_semantic_criterion``
+        don't exist upstream, so this is the working realization).
+
+        Rows with top-1 confidence == 1 are hard one-hot labels; the
+        rest carry a distribution. Static shapes: splits are masks, not
+        boolean indexing."""
+        sl = cfg.get('SOFT_LABEL', None)
+        flat_logits = logits.reshape(-1, n_classes)
+        soft = soft_labels.reshape(-1, n_classes).astype(jnp.float32)
+        has_label = (soft.sum(-1) > 0) & valid.reshape(-1)
+        top1_conf = soft.max(-1)
+        top1 = jnp.argmax(soft, -1).astype(jnp.int32)
+        hard_mask = has_label & (top1_conf >= 1.0 - 1e-6)
+        if sl.get('convert_to_hard', False):
+            sampled = soft_to_hard_labels(soft, rng, ignore)
+            hard_loss = cross_entropy(
+                flat_logits, jnp.where(hard_mask, sampled, ignore),
+                ignore)[0]
+            soft_loss = cross_entropy(
+                flat_logits,
+                jnp.where(has_label & ~hard_mask, sampled, ignore),
+                ignore)[0]
+        elif sl.get('thres', {}).get('enabled', False):
+            hard_loss = cross_entropy(
+                flat_logits, jnp.where(hard_mask, top1, ignore), ignore)[0]
+            soft_loss = soft_cross_entropy(flat_logits, soft,
+                                           has_label & ~hard_mask)
+        else:
+            hard_loss = jnp.float32(0.0)
+            soft_loss = soft_cross_entropy(flat_logits, soft, has_label)
+        return hard_loss + soft_loss, hard_loss, soft_loss
+
+    soft_enabled = bool(cfg.get('SOFT_LABEL', None)
+                        and cfg.SOFT_LABEL.get('enabled', False))
+
     def st_step(state: TrainState, src_batch: PointBatch,
-                tar_batch: PointBatch, lr, w_src, w_tar):
+                tar_batch: PointBatch, lr, w_src, w_tar,
+                tar_soft=None, rng=None):
         """Self-training step: one optimizer update from the weighted sum
         of a source-domain loss (domain 0) and a target/mixed loss
         (domain 1) — the fused equivalent of the reference's two
@@ -197,7 +237,11 @@ def make_steps(cfg, model: SparseConvNet, tx, b_caps):
             logits_t, bs2 = forward(params, bs1, tar_batch, True, 1,
                                     ['batch_stats'])
             labels_t = jnp.where(tar_batch.valid, tar_batch.labels, ignore)
-            loss_t = criterion(logits_t, labels_t)
+            if soft_enabled and tar_soft is not None:
+                loss_t, _, _ = soft_label_loss(logits_t, tar_soft,
+                                               tar_batch.valid, rng)
+            else:
+                loss_t = criterion(logits_t, labels_t)
             total = w_src * loss_s + w_tar * loss_t
             return total, (loss_s, loss_t, logits_s, logits_t, bs2)
 

@@ -84,6 +84,28 @@ def save_scene_labels(pseudo_labels_dir, name, labels, txt_mirror=True):
             np.savetxt(path, labels.astype(np.uint8), fmt='%d')
 
 
+def save_scene_soft_labels(pseudo_labels_dir, name, softmax, hard_mask):
+    """Soft pseudo labels for one scene -> fp16 npy (N, C).
+
+    Rows passing the confidence threshold (``hard_mask``) are stored
+    one-hot (top-1 confidence == 1 marks them as hard labels downstream,
+    matching the split rule of ref model/unet.py:176-178); the rest keep
+    the softmax distribution. The reference declares this SOFT_LABEL
+    surface but ships no producer at all."""
+    pseudo_labels_dir = Path(pseudo_labels_dir)
+    (pseudo_labels_dir / 'soft').mkdir(parents=True, exist_ok=True)
+    soft = np.asarray(softmax, np.float32)
+    top1 = soft.argmax(-1)
+    onehot = np.eye(soft.shape[-1], dtype=np.float32)[top1]
+    out = np.where(np.asarray(hard_mask)[..., None], onehot, soft)
+    np.save(pseudo_labels_dir / 'soft' / f'{name}.npy',
+            out.astype(np.float16))
+
+
+def load_scene_soft_labels(pseudo_labels_dir, name):
+    return np.load(Path(pseudo_labels_dir) / 'soft' / f'{name}.npy')
+
+
 def generation_done(pseudo_labels_dir):
     return os.path.exists(Path(pseudo_labels_dir) / 'done.txt')
 

@@ -113,16 +113,28 @@ def set_pseudo_labels(args, cfg, logger, tar_data, tar_loader, state,
         data_list = tar_data.get_data_list()
         thres_arr = np.asarray(thres, np.float32)
 
+        soft_enabled = bool(cfg.get('SOFT_LABEL', None)
+                            and cfg.SOFT_LABEL.get('enabled', False))
+
         def write(batch, out):
             preds = np.asarray(out['preds'])
             conf = np.asarray(out['confidence'])
             valid = np.asarray(batch.points.valid)
             pseudo = np.where(conf > thres_arr[preds], preds, 255)
+            softmax = None
+            if soft_enabled:
+                logits = np.asarray(out['output'], np.float32)
+                e = np.exp(logits - logits.max(-1, keepdims=True))
+                softmax = e / e.sum(-1, keepdims=True)
             for b, idx in enumerate(batch.ids):
                 n = batch.lengths[b]
                 name = os.path.basename(str(data_list[idx])).split('.')[0]
                 pl_utils.save_scene_labels(pseudo_labels_dir, name,
                                            pseudo[b, :n])
+                if soft_enabled:
+                    pl_utils.save_scene_soft_labels(
+                        pseudo_labels_dir, name, softmax[b, :n],
+                        pseudo[b, :n] != 255)
                 lab = pseudo[b, :n][valid[b, :n]]
                 class_ratio[:] += np.bincount(
                     lab[lab != 255], minlength=n_classes)[:n_classes] / 1e3
@@ -169,8 +181,17 @@ def train_epoch(args, cfg, logger, writer, source_reader, tar_loader,
         meters['data'].update(time.time() - end)
         source_batch = source_reader.read_data()
         lr = float(lr_fn(epoch, i))
+        soft = batch.extras.get('soft_labels')
+        soft_kw = {}
+        if soft is not None:
+            import jax.numpy as jnp
+            soft_kw = dict(tar_soft=jnp.asarray(soft),
+                           rng=jax.random.fold_in(
+                               jax.random.PRNGKey(args.manual_seed or 0),
+                               epoch * n_iter + i))
         state, m = st_step(state, to_device(source_batch.points, mesh),
-                           to_device(batch.points, mesh), lr, w_src, w_tar)
+                           to_device(batch.points, mesh), lr, w_src, w_tar,
+                           **soft_kw)
         m = jax.tree.map(np.asarray, m)
         # weight meters by total point count like the reference
         # (labels.size(0), tool/st.py:155,182) — valid counts can be 0
@@ -322,6 +343,17 @@ def main():
     logger.info('Initial val mIoU: {:.4f}'.format(miou))
 
     tacm_cfg = cfg.DATA_CONFIG_TAR.DATA_AUG.tacm
+    if cfg.get('SOFT_LABEL', None) and cfg.SOFT_LABEL.get('enabled', False):
+        if tacm_cfg.get('enabled', False):
+            # soft rows cannot survive cuboid mixing; the reference's
+            # SOFT_LABEL branch (model/unet.py:174-194) has no data path
+            # at all, so this combination was never defined upstream
+            logger.warning('SOFT_LABEL.enabled requires tacm.enabled=False;'
+                           ' ignoring soft labels for mixed batches')
+        else:
+            tar_data.set_soft_labels(True)
+            logger.info('SOFT_LABEL mode: target batches carry soft '
+                        'distributions from the pseudo-label store')
     for epoch in range(args.start_epoch, args.epochs):
         # pseudo labels (first epoch or resumed via done.txt sentinel)
         generated = set_pseudo_labels(args, cfg, logger, tar_data,

@@ -92,31 +92,48 @@ def test_one_epoch(args, cfg, logger, loader, state, eval_step, result_dir,
     for i, batch in enumerate(loader):
         # exact-count duplicate trimming: sampler-padded scenes at the tail
         # of the last batch are masked out of metrics and skipped in dumps
-        # (ref tool/test.py:138-141)
-        n_real = min(batch.points.valid.shape[0], n_total - n_seen)
-        n_seen += batch.points.valid.shape[0]
+        # (ref tool/test.py:138-141). In region-eval mode a scene spans
+        # several rows (batch.groups); trimming counts scenes, not rows.
+        groups = batch.groups
+        n_scenes = len(groups) if groups is not None \
+            else batch.points.valid.shape[0]
+        n_real = min(n_scenes, n_total - n_seen)
+        n_seen += n_scenes
         points = batch.points
-        if n_real < points.valid.shape[0]:
-            mask = (np.arange(points.valid.shape[0]) < n_real)[:, None]
+        if n_real < n_scenes:
+            keep_rows = ([r for g in groups[:n_real] for r in g]
+                         if groups is not None else range(n_real))
+            mask = np.zeros((points.valid.shape[0], 1), bool)
+            mask[list(keep_rows)] = True
             points = points._replace(valid=points.valid & mask)
         out = eval_step(state.params, state.batch_stats,
                         to_device(points, mesh), domain)
         preds = np.asarray(out['preds'])
         if batch.full is not None:
-            # crop -> full-resolution 1-NN broadcast (ref model/unet.py:135-145)
+            # crop/regions -> full-resolution 1-NN broadcast
+            # (ref model/unet.py:135-145)
+            if groups is None:
+                groups = [[b] for b in range(preds.shape[0])]
             logits = np.asarray(out['output'])
             inter = np.zeros(n_classes, np.int64)
             union = np.zeros(n_classes, np.int64)
             target = np.zeros(n_classes, np.int64)
             full_preds = []
+            full_logits = []
             loss_sum, count = 0.0, 0
-            for b in range(min(preds.shape[0], n_real)):
-                n = batch.lengths[b]
+            for b in range(min(len(groups), n_real)):
+                rows = groups[b]
+                crop_xyz = np.concatenate(
+                    [np.asarray(batch.points.feats[r, :batch.lengths[r]])
+                     for r in rows])
+                crop_pred = np.concatenate(
+                    [preds[r, :batch.lengths[r]] for r in rows])
+                crop_logit = np.concatenate(
+                    [logits[r, :batch.lengths[r]] for r in rows])
                 nn_idx = knn_broadcast_labels(
-                    np.asarray(batch.points.feats[b, :n]),
-                    np.arange(n, dtype=np.int32),
+                    crop_xyz, np.arange(len(crop_xyz), dtype=np.int32),
                     batch.full['xyz_middle_all'][b])
-                bp = preds[b, :n][nn_idx]
+                bp = crop_pred[nn_idx]
                 labels_all = batch.full['label_all'][b].astype(np.int32)
                 ii, uu, tt = (np.asarray(x) for x in intersection_and_union(
                     bp, labels_all, n_classes, ignore))
@@ -124,9 +141,10 @@ def test_one_epoch(args, cfg, logger, loader, state, eval_step, result_dir,
                 union += uu
                 target += tt
                 full_preds.append(bp)
+                full_logits.append(crop_logit[nn_idx])
                 # loss on broadcast logits vs full-res labels
                 # (ref model/unet.py:141-145)
-                lp = _log_softmax(logits[b, :n].astype(np.float64))[nn_idx]
+                lp = _log_softmax(crop_logit.astype(np.float64))[nn_idx]
                 keep = labels_all != ignore
                 if keep.any():
                     loss_sum += float(
@@ -157,12 +175,16 @@ def test_one_epoch(args, cfg, logger, loader, state, eval_step, result_dir,
                            preds_for_save[b].astype(np.uint8), fmt='%d')
         if args.save_logit:
             os.makedirs(result_dir / 'logit', exist_ok=True)
-            logits = np.asarray(out['output'])
             data_list = loader.dataset.get_data_list()
             for b, idx in enumerate(batch.ids[:n_real]):
                 name = os.path.basename(str(data_list[idx])).split('.')[0]
-                np.save(result_dir / 'logit' / f'{name}.npy',
-                        logits[b, :batch.lengths[b]])
+                if batch.full is not None:
+                    # broadcast (full-resolution) logits, like the ref's
+                    # crop branch output (model/unet.py:139)
+                    dump = full_logits[b]
+                else:
+                    dump = np.asarray(out['output'])[b, :batch.lengths[b]]
+                np.save(result_dir / 'logit' / f'{name}.npy', dump)
 
         batch_time.update(time.time() - end)
         end = time.time()
