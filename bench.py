@@ -15,6 +15,7 @@ target is 75 scenes/sec/chip and vs_baseline = value / 75.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -24,6 +25,31 @@ N_CAP = 262144
 N_REAL = 150_000
 BRICK_CAP = 24576
 TARGET_SCENES_PER_SEC = 75.0
+
+
+def kernel_check():
+    """Compiled-engine-vs-oracle assertion on the real chip (catches
+    Mosaic/XLA drift the CPU interpret-mode tests cannot)."""
+    import jax
+    import jax.numpy as jnp
+    from doda_tpu.ops import bricks
+
+    rng = np.random.default_rng(7)
+    coords = rng.integers(0, 40, (8192, 3)).astype(np.int32)
+    grid = bricks.brickify(jnp.asarray(coords),
+                           jnp.ones(8192, bool), 1024)
+    nbr = bricks.build_brick_rulebook(grid.table)
+    feats = rng.normal(size=(1024, bricks.CELLS, 16)).astype(np.float32)
+    feats = jnp.asarray(feats * np.asarray(grid.occ)[..., None])
+    w = jnp.asarray(rng.normal(size=(27, 16, 16)).astype(np.float32) * 0.1)
+    want = np.asarray(bricks.subm_conv3(feats, grid.occ, nbr, w,
+                                        compute_dtype=jnp.float32))
+    got = np.asarray(bricks.subm_conv3_v2(feats, grid.occ, nbr, w,
+                                          compute_dtype=jnp.float32))
+    err = np.abs(got - want).max()
+    assert err < 1e-3, f'v2 engine drift vs oracle on device: {err}'
+    print(f'kernel check ok (v2 vs oracle max err {err:.2e})',
+          file=sys.stderr)
 
 
 def make_scene(rng):
@@ -42,6 +68,65 @@ def make_scene(rng):
     return np.clip(c, 0, 2047)
 
 
+def train_bench(state, mf, cfg, b_caps, coords, feats, valid):
+    """--train mode: train-step throughput + input-pipeline keep-up ratio
+    (data_time / batch_time — must stay well under 1 or the host feeds
+    too slowly; numbers recorded in PERF.md)."""
+    import jax
+    import jax.numpy as jnp
+    from doda_tpu.utils.optim import build_optimizer
+
+    tx = build_optimizer(cfg.OPTIMIZATION)
+    train_step, _, _ = mf.make_steps(cfg, mf.build_model(cfg), tx, b_caps)
+    labels = np.where(valid, np.random.default_rng(1).integers(
+        0, 20, valid.shape), 255).astype(np.int32)
+    batch = mf.PointBatch(coords=jnp.asarray(coords),
+                          feats=jnp.asarray(feats),
+                          labels=jnp.asarray(labels),
+                          valid=jnp.asarray(valid))
+    state, m = train_step(state, batch, 0.1, 0)   # compile
+    float(m['loss'])
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, m = train_step(state, batch, 0.1, 0)
+    float(m['loss'])
+    step_t = (time.perf_counter() - t0) / n
+
+    # real input pipeline at bench scale: synthetic ScanNet scenes through
+    # the actual reader + augmentor + padded collate + thread workers
+    import os
+    import subprocess
+    root = '/tmp/bench_synth'
+    if not os.path.exists(os.path.join(root, 'scannetv2', 'train')):
+        subprocess.run([sys.executable, 'tools/make_synth_data.py',
+                        '--root', root, '--dataset', 'scannet',
+                        '--n_train', '12', '--n_val', '2',
+                        '--points', str(N_REAL)], check=True)
+    from doda_tpu.config import CfgNode, cfg_from_yaml_file
+    dcfg = CfgNode({})
+    cfg_from_yaml_file('cfgs/scannet/spconv.yaml', dcfg)
+    dcfg.DATA_CONFIG.DATA_ROOT = os.path.join(root, 'scannetv2')
+    from doda_tpu.data import build_dataloader
+    _, loader, _ = build_dataloader(dcfg.DATA_CONFIG, BATCH, dist=False,
+                                    workers=4, split='training',
+                                    training=True)
+    it = iter(loader)
+    next(it)                      # warm the worker pool
+    t0 = time.perf_counter()
+    n_data = 0
+    for _ in range(n):
+        next(it)
+        n_data += 1
+    data_t = (time.perf_counter() - t0) / n_data
+    print(json.dumps({
+        'train_step_scenes_per_sec': round(BATCH / step_t, 3),
+        'step_time_s': round(step_t, 4),
+        'data_batch_time_s': round(data_t, 4),
+        'data_over_batch': round(data_t / step_t, 4),
+    }), file=sys.stderr)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -49,6 +134,8 @@ def main():
     from doda_tpu.models.unet import build_level_plan, default_brick_caps
     from doda_tpu.utils.optim import build_optimizer
     from __graft_entry__ import _flagship
+
+    kernel_check()
 
     rng = np.random.default_rng(0)
     coords = np.zeros((BATCH, N_CAP, 3), np.int32)
@@ -94,6 +181,9 @@ def main():
     def run(n):
         return int(fwd_loop(state.params, state.batch_stats, coords_d,
                             feats_d, valid_d, jnp.int32(n)))
+
+    if '--train' in sys.argv:
+        train_bench(state, mf, cfg, b_caps, coords, feats, valid)
 
     run(1)  # compile + warm
 

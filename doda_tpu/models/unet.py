@@ -92,25 +92,42 @@ def build_level_plan(coords: jax.Array, valid: jax.Array,
 # batched op wrappers (leading scene dim on both data and indices)
 # ---------------------------------------------------------------------------
 
-def _use_pallas() -> bool:
+def _subm_impl():
+    """Select the submanifold-conv engine (env override for A/B runs).
+
+    Default everywhere: the concat-assembly XLA path (``subm_conv3_v2``)
+    — measured 3x faster than both round-1 engines on v5e (15.3 ms vs
+    46/53 ms per level-0 conv) because assembly is a single fused
+    gather+concat pass and the conv is exact-tap MXU work. The Pallas
+    kernels remain for A/B: ``DODA_CONV=pallas2`` (banded GEMM, fast
+    GEMM core but store-bound assembly), ``DODA_CONV=pallas1`` (round-1
+    kernel), ``DODA_CONV=oracle`` (shell-gather reference engine)."""
     import os
-    return (jax.default_backend() == 'tpu'
-            and not os.environ.get('DODA_NO_PALLAS'))
+    sel = os.environ.get('DODA_CONV', '')
+    if sel in ('oracle', 'pallas1', 'pallas2'):
+        return sel
+    return 'xla'
 
 
 def _bsubm(x, occ, nbr, w, dtype):
-    if _use_pallas():
+    impl = _subm_impl()
+    if impl in ('pallas1', 'pallas2', 'xla'):
         # Flatten scenes into the brick dim (vmap of pallas_call would
         # fold the batch into the VMEM block and overflow it): per-scene
         # neighbor ids get a scene offset; every scene's null slot (cap)
         # maps to the single global null row at batch*cap.
-        from ..ops.pallas_halo import halo_conv
+        if impl == 'pallas1':
+            from ..ops.pallas_halo import halo_conv as conv
+        elif impl == 'pallas2':
+            from ..ops.pallas_halo2 import halo_conv2 as conv
+        else:
+            from ..ops.bricks import subm_conv3_v2 as conv
         bt, cap = nbr.shape[0], nbr.shape[1]
         offs = (jnp.arange(bt, dtype=jnp.int32) * cap)[:, None, None]
         nbr_flat = jnp.where(nbr >= cap, bt * cap, nbr + offs)
-        out = halo_conv(x.reshape(bt * cap, *x.shape[2:]),
-                        occ.reshape(bt * cap, -1),
-                        nbr_flat.reshape(bt * cap, 27), w, dtype)
+        out = conv(x.reshape(bt * cap, *x.shape[2:]),
+                   occ.reshape(bt * cap, -1),
+                   nbr_flat.reshape(bt * cap, 27), w, dtype)
         return out.reshape(bt, cap, out.shape[-2], out.shape[-1])
     return jax.vmap(lambda f, o, n: subm_conv3(f, o, n, w, dtype))(x, occ, nbr)
 
