@@ -408,6 +408,11 @@ class BrickDown(NamedTuple):
                    the scatter runs once here (int indices, per plan)
                    instead of per conv (traced at ~100 ms per f32
                    feature scatter-add at the level-0 shape).
+    parity       : (B_cap,) int32 — child coord parity (octant in the
+                   parent), rx*4 + ry*2 + rz.
+    parent_children : (P_cap, 8) int32 — child brick id per parent
+                   octant (null = B_cap); the wide-lane engine
+                   (bricks2d) assembles parents by 8 row gathers.
     """
 
     parent: CoordTable
@@ -415,6 +420,8 @@ class BrickDown(NamedTuple):
     child_parent: jax.Array
     target_cells: jax.Array
     parent_src: jax.Array
+    parity: jax.Array
+    parent_children: jax.Array
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -445,9 +452,16 @@ def build_brick_downsample(table: CoordTable, occ: jax.Array,
     inv = jnp.full((p_cap * CELLS + 1,), b_cap * WINDOWS, jnp.int32)
     inv = inv.at[flat_parent.reshape(-1)].set(
         jnp.arange(b_cap * WINDOWS, dtype=jnp.int32))
+
+    pc = jnp.full((p_cap + 1, 8), b_cap, jnp.int32)
+    row = jnp.where(valid & (child_parent < p_cap), child_parent, p_cap)
+    pc = pc.at[row, parity].set(
+        jnp.arange(b_cap, dtype=jnp.int32))
     return BrickDown(parent=parent, parent_occ=pocc[:p_cap],
                      child_parent=child_parent, target_cells=target_cells,
-                     parent_src=inv[:p_cap * CELLS].reshape(p_cap, CELLS))
+                     parent_src=inv[:p_cap * CELLS].reshape(p_cap, CELLS),
+                     parity=parity.astype(jnp.int32),
+                     parent_children=pc[:p_cap])
 
 
 def _occ_cell_order(x: jax.Array) -> jax.Array:

@@ -1,0 +1,352 @@
+"""Wide-lane (2D) brick engine — the v3 TPU hot path.
+
+Why this module exists (all traced on v5e, batch-4 bench forward):
+the v2 engine in ``bricks.py`` carries activations as (B, 4, 4, 4, C)
+with C = 16..112 as the minor dim. TPU arrays are stored in (8, 128)
+tiles, so a 16-wide minor dim pads every tile 8x — 8x the HBM bytes and
+8x the bandwidth of every gather, concat, norm and mask pass. The traced
+forward spent 98% of 2.9 s in exactly those passes (convs: 24 ms).
+
+Here every persistent tensor is 2D ``(bricks, 64*C)`` — full 128-lane
+tiles for C >= 2 — and every rearrangement is expressed as either
+* a lane-slice concat (one fused output pass, gathers fuse in), or
+* a row gather of contiguous >=128-byte rows.
+
+The submanifold 3^3 conv becomes a *banded 1D conv* along brick x-slices:
+
+  tab_yz (B, 80C)   boundary cells facing the 8 in-plane (dy,dz) dirs,
+                    piece-major (lane-slice extraction from x)
+  P      (B, 144C)  per x-slice, the full 6x6 (y,z) halo plane (36C):
+                    one 72-block lane concat of center runs + gathered
+                    neighbor piece slices
+  P6     (B, 216C)  P plus the x-/x+ neighbor planes (two row gathers of
+                    P itself, reshaped (B*4, 36C))
+  out    (B, 64Co)  lax.conv NWC over (B, 6, 36C) with banded weights
+                    (3, 36C, 16Co): 3 MXU GEMMs with k = 36C >= 576 and
+                    n = 16Co >= 256 — the measured 54+ TF/s regime —
+                    issuing only 4/3 of the exact-tap FLOPs
+
+Semantics remain spconv v1.2 SubMConv3d / SparseConv3d(k2s2) /
+SparseInverseConv3d (ref model/unet_block.py:14-85), cell-exact vs the
+``bricks.py`` oracle (tests/test_bricks2d.py).
+
+Conventions: tables are flattened across the batch (scene offsets folded
+into ids); the null id is ``B`` and every gathered array is padded with
+one zero row, so misses need no masking.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .bricks import BRICK, CELLS, _H, WINDOWS
+
+_OFFS2 = [(dy, dz) for dy in (-1, 0, 1) for dz in (-1, 0, 1)
+          if (dy, dz) != (0, 0)]
+
+
+def _src(d: int):
+    """Cells along one axis a neighbor at offset d contributes."""
+    return [BRICK - 1] if d == -1 else (list(range(BRICK)) if d == 0
+                                        else [0])
+
+
+def dir3_index(dx: int, dy: int, dz: int) -> int:
+    """Column of the (B, 27) rulebook for offset (dx, dy, dz)."""
+    return ((dx + 1) * 3 + (dy + 1)) * 3 + (dz + 1)
+
+
+@functools.lru_cache(maxsize=None)
+def _yz_piece_plan():
+    """Per (dy,dz) dir: (start cell offset in tab_yz, [source cells]).
+
+    Piece layout is (x, y, z) raster over its source cells, so the
+    slice a consumer needs for halo row (x, y') is a contiguous lane
+    run."""
+    plan = {}
+    start = 0
+    for dy, dz in _OFFS2:
+        cells = [x * 16 + y * 4 + z
+                 for x in range(BRICK) for y in _src(dy) for z in _src(dz)]
+        plan[(dy, dz)] = (start, cells)
+        start += len(cells)
+    return plan, start          # start == 80
+
+
+def _runs(cells):
+    """Split a sorted cell list into (start, length) runs of consecutive
+    ids — each run is one lane slice of the (B, 64C) tensor."""
+    runs = []
+    for c in cells:
+        if runs and runs[-1][0] + runs[-1][1] == c:
+            runs[-1] = (runs[-1][0], runs[-1][1] + 1)
+        else:
+            runs.append((c, 1))
+    return runs
+
+
+def extract_tab_yz(x2: jax.Array, cin: int) -> jax.Array:
+    """(B, 64C) -> (B, 80C) boundary cells facing the 8 (dy,dz) dirs.
+
+    Pure lane-slice concat (56 runs) — one fused pass."""
+    plan, total = _yz_piece_plan()
+    parts = []
+    for dy, dz in _OFFS2:
+        _, cells = plan[(dy, dz)]
+        for c0, ln in _runs(cells):
+            parts.append(x2[:, c0 * cin:(c0 + ln) * cin])
+    return jnp.concatenate(parts, axis=1)
+
+
+@functools.lru_cache(maxsize=None)
+def _plane_blocks():
+    """Static P-assembly plan: per x-row, 18 (source, lane range) blocks.
+
+    source is 'center' or a (dy, dz) dir; lane ranges are in *cells*
+    (multiply by C at trace time). Order: x-row major, then (y', z')."""
+    plan, _ = _yz_piece_plan()
+    rows = []
+    for x in range(BRICK):
+        blocks = []
+
+        def piece_lane(d, cell, ln=1):
+            # offsets are piece-LOCAL: the consumer slices the already-
+            # extracted per-direction gather, not the whole table
+            _, cells = plan[d]
+            return ('piece', d, cells.index(cell), ln)
+
+        # y' = 0: dy=-1 sources (their y == 3)
+        blocks.append(piece_lane((-1, -1), x * 16 + 15))
+        blocks.append(piece_lane((-1, 0), x * 16 + 12, 4))
+        blocks.append(piece_lane((-1, 1), x * 16 + 12))
+        # y' = 1..4: z- cell | center run | z+ cell
+        for y in range(BRICK):
+            blocks.append(piece_lane((0, -1), x * 16 + y * 4 + 3))
+            blocks.append(('center', None, x * 16 + y * 4, 4))
+            blocks.append(piece_lane((0, 1), x * 16 + y * 4))
+        # y' = 5: dy=+1 sources (their y == 0)
+        blocks.append(piece_lane((1, -1), x * 16 + 3))
+        blocks.append(piece_lane((1, 0), x * 16, 4))
+        blocks.append(piece_lane((1, 1), x * 16))
+        rows.append(tuple(blocks))
+    return tuple(rows)
+
+
+H = BRICK + 2
+PLANE = H * H               # 36
+OUTP = BRICK * BRICK        # 16
+
+
+@functools.lru_cache(maxsize=None)
+def _band_np(cin: int, cout: int):
+    """One-hot map (3, 36, 16, 27) for building banded weights."""
+    m = np.zeros((3, PLANE, OUTP, 27), np.float32)
+    for i in range(3):
+        for y in range(BRICK):
+            for z in range(BRICK):
+                for dy in (-1, 0, 1):
+                    for dz in (-1, 0, 1):
+                        yh, zh = y + dy + 1, z + dz + 1
+                        k = i * 9 + (dy + 1) * 3 + (dz + 1)
+                        m[i, yh * H + zh, y * BRICK + z, k] = 1.0
+    return m
+
+
+def banded_weights(w: jax.Array) -> jax.Array:
+    """(27, cin, cout) raster (dx,dy,dz) -> (3, 36*cin, 16*cout)."""
+    cin, cout = w.shape[1], w.shape[2]
+    m = jnp.asarray(_band_np(cin, cout), w.dtype)
+    wb = jnp.einsum('pqrk,kio->pqiro', m, w)
+    return wb.reshape(3, PLANE * cin, OUTP * cout)
+
+
+def _occ_rep(occ: jax.Array, cout: int) -> jax.Array:
+    """(B, 64) bool -> (B, 64*cout) per-cell lane mask."""
+    return jnp.repeat(occ, cout, axis=1)
+
+
+def subm_conv3_2d(x2: jax.Array, occ: jax.Array, nbr: jax.Array,
+                  weights: jax.Array,
+                  compute_dtype=jnp.bfloat16) -> jax.Array:
+    """Submanifold 3^3 conv on wide-lane bricks.
+
+    x2      (B, 64*cin) — zero at inactive cells (engine invariant)
+    occ     (B, 64) bool
+    nbr     (B, 27) int32 — flattened ids, null == B
+    weights (27, cin, cout) raster (dx, dy, dz)
+    returns (B, 64*cout) in x2.dtype, masked to active cells
+    """
+    b, lanes = x2.shape
+    cin = lanes // CELLS
+    cout = weights.shape[2]
+    x = x2.astype(compute_dtype)
+    wb = banded_weights(weights.astype(compute_dtype))
+
+    tab = jnp.pad(extract_tab_yz(x, cin), ((0, 1), (0, 0)))
+    plan, _ = _yz_piece_plan()
+    gathered = {}
+    for d in _OFFS2:
+        st, cells = plan[d]
+        col = dir3_index(0, *d)
+        gathered[d] = tab[:, st * cin:(st + len(cells)) * cin][nbr[:, col]]
+
+    parts = []
+    for blocks in _plane_blocks():
+        for kind, d, lane0, ln in blocks:
+            if kind == 'center':
+                parts.append(x[:, lane0 * cin:(lane0 + ln) * cin])
+            else:
+                parts.append(
+                    gathered[d][:, lane0 * cin:(lane0 + ln) * cin])
+    p = jnp.concatenate(parts, axis=1)          # (B, 144*cin)
+
+    p2 = jnp.pad(p.reshape(b * BRICK, PLANE * cin), ((0, 1), (0, 0)))
+    xm = nbr[:, dir3_index(-1, 0, 0)]
+    xp = nbr[:, dir3_index(1, 0, 0)]
+    row_m = p2[jnp.where(xm >= b, b * BRICK, xm * BRICK + BRICK - 1)]
+    row_p = p2[jnp.where(xp >= b, b * BRICK, xp * BRICK)]
+    p6 = jnp.concatenate([row_m, p, row_p], axis=1)   # (B, 216*cin)
+    # barrier: stop XLA re-fusing the whole assembly into the conv's
+    # window reads (same hazard as bricks.subm_conv3_v2)
+    p6 = jax.lax.optimization_barrier(p6)
+
+    out = jax.lax.conv_general_dilated(
+        p6.reshape(b, H, PLANE * cin), wb, (1,), 'VALID',
+        dimension_numbers=('NWC', 'WIO', 'NWC'))
+    out = out.reshape(b, CELLS * cout).astype(x2.dtype)
+    return jnp.where(_occ_rep(occ, cout), out, 0)
+
+
+# ---------------------------------------------------------------------------
+# stride-2 down / up sampling (k=2, s=2), octant-major lane permutes
+# ---------------------------------------------------------------------------
+
+def _cell(x: int, y: int, z: int) -> int:
+    return x * 16 + y * 4 + z
+
+
+@functools.lru_cache(maxsize=None)
+def _wo_cells():
+    """Cell ids in (window, offset) order: w=(xh,yh,zh), o=(xl,yl,zl)."""
+    out = []
+    for xh in range(_H):
+        for yh in range(_H):
+            for zh in range(_H):
+                for xl in range(2):
+                    for yl in range(2):
+                        for zl in range(2):
+                            out.append(_cell(xh * 2 + xl, yh * 2 + yl,
+                                             zh * 2 + zl))
+    return tuple(out)
+
+
+@functools.lru_cache(maxsize=None)
+def _ow_cells():
+    """Cell ids in (octant, window) order — parent-side raster."""
+    out = []
+    for rx in range(2):
+        for ry in range(2):
+            for rz in range(2):
+                for xh in range(_H):
+                    for yh in range(_H):
+                        for zh in range(_H):
+                            out.append(_cell(rx * 2 + xh, ry * 2 + yh,
+                                             rz * 2 + zh))
+    return tuple(out)
+
+
+def _lane_permute(x2: jax.Array, cells, cin: int) -> jax.Array:
+    """Reorder the 64 cell blocks of (B, 64C) lanes — slice concat."""
+    parts = [x2[:, c0 * cin:(c0 + ln) * cin] for c0, ln in _runs_keep(cells)]
+    return jnp.concatenate(parts, axis=1)
+
+
+def _runs_keep(cells):
+    """Like _runs but preserves the given order (no sorting assumed)."""
+    runs = []
+    for c in cells:
+        if runs and runs[-1][0] + runs[-1][1] == c:
+            runs[-1] = (runs[-1][0], runs[-1][1] + 1)
+        else:
+            runs.append((c, 1))
+    return runs
+
+
+@functools.lru_cache(maxsize=None)
+def _inv(cells):
+    """Inverse permutation of a 64-cell order."""
+    inv = [0] * CELLS
+    for pos, c in enumerate(cells):
+        inv[c] = pos
+    return tuple(inv)
+
+
+def down_conv2_2d(x2: jax.Array, occ_p: jax.Array,
+                  parent_children: jax.Array, weights: jax.Array,
+                  compute_dtype=jnp.bfloat16) -> jax.Array:
+    """SparseConv3d(k=2, s=2): (B, 64*cin) children -> (P, 64*cout).
+
+    parent_children (P, 8) int32: child brick per parent octant, null==B.
+    weights (8, cin, cout), offset-major (xl*4 + yl*2 + zl).
+    """
+    b, lanes = x2.shape
+    cin = lanes // CELLS
+    cout = weights.shape[-1]
+    x = _lane_permute(x2.astype(compute_dtype), _wo_cells(), cin)
+    rows = x.reshape(b * WINDOWS, 8 * cin)
+    w = weights.reshape(8 * cin, cout).astype(compute_dtype)
+    child_out = jnp.dot(rows, w).reshape(b, WINDOWS * cout)
+    child_out = jnp.pad(child_out, ((0, 1), (0, 0)))
+    parts = [child_out[parent_children[:, o]] for o in range(8)]
+    pow_ = jnp.concatenate(parts, axis=1)      # (P, 64*cout), (o, w, c)
+    p_raster = _lane_permute(pow_, _inv(_ow_cells()), cout)
+    p_raster = p_raster.astype(x2.dtype)
+    return jnp.where(_occ_rep(occ_p, cout), p_raster, 0)
+
+
+def up_conv2_2d(p2: jax.Array, occ_c: jax.Array, child_parent: jax.Array,
+                parity: jax.Array, weights: jax.Array,
+                compute_dtype=jnp.bfloat16) -> jax.Array:
+    """SparseInverseConv3d(k=2): (P, 64*cin) parents -> (B, 64*cout).
+
+    child_parent (B,) int32 (null == P), parity (B,) int32 in [0, 8).
+    Each child reads the 8 parent cells of its octant through W[offset].
+    """
+    p, lanes = p2.shape
+    cin = lanes // CELLS
+    cout = weights.shape[-1]
+    b = child_parent.shape[0]
+    par_ow = _lane_permute(p2.astype(compute_dtype), _ow_cells(), cin)
+    par_rows = jnp.pad(par_ow.reshape(p * 8, WINDOWS * cin),
+                       ((0, 1), (0, 0)))
+    idx = jnp.where(child_parent >= p, p * 8, child_parent * 8 + parity)
+    corner = par_rows[idx]                       # (B, 8w*cin)
+    rows = corner.reshape(b * WINDOWS, cin)
+    # W[o, c, :] -> (cin, 8*cout) so out lanes come back (o, cout)
+    w = jnp.transpose(weights, (1, 0, 2)).reshape(
+        cin, 8 * cout).astype(compute_dtype)
+    out8 = jnp.dot(rows, w).reshape(b, WINDOWS * 8 * cout)  # (w, o, c)
+    out = _lane_permute(out8, _inv(_wo_cells()), cout).astype(p2.dtype)
+    return jnp.where(_occ_rep(occ_c, cout), out, 0)
+
+
+def conv1x1_2d(x2: jax.Array, occ: jax.Array, weights: jax.Array,
+               compute_dtype=jnp.bfloat16) -> jax.Array:
+    """Per-cell channel mix (the residual shortcut's 1x1).
+
+    Implemented as one block-diagonal GEMM (64 blocks of (cin, cout)) so
+    the activation never leaves the wide-lane layout: k = 64*cin,
+    n = 64*cout. Issues 64x the useful FLOPs, but the useful FLOPs are
+    tiny and the C-minor alternative pays 8x tile padding on 100x the
+    bytes."""
+    cin, cout = weights.shape
+    eye = jnp.eye(CELLS, dtype=compute_dtype)
+    wb = (eye[:, None, :, None]
+          * weights.astype(compute_dtype)[None, :, None, :])
+    wb = wb.reshape(CELLS * cin, CELLS * cout)
+    out = jnp.dot(x2.astype(compute_dtype), wb).astype(x2.dtype)
+    return jnp.where(_occ_rep(occ, cout), out, 0)

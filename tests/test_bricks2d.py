@@ -1,0 +1,111 @@
+"""Wide-lane (2D) engine vs the 3D brick oracle — cell-exact equivalence.
+
+Covers subm conv (banded 1D formulation), k2s2 down/up, and the
+block-diagonal 1x1, all in f32 so comparisons are exact on CPU.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from doda_tpu.ops import bricks, bricks2d
+
+
+@pytest.fixture(scope='module')
+def grid():
+    rng = np.random.default_rng(3)
+    coords = rng.integers(0, 24, (4096, 3)).astype(np.int32)
+    valid = np.ones(4096, bool)
+    g = bricks.brickify(jnp.asarray(coords), jnp.asarray(valid), 512)
+    nbr = bricks.build_brick_rulebook(g.table)
+    return g, nbr, rng
+
+
+def make_feats(rng, b_cap, cin, occ):
+    f = rng.normal(size=(b_cap, bricks.CELLS, cin)).astype(np.float32)
+    return jnp.asarray(f * np.asarray(occ)[..., None])
+
+
+def test_subm_conv_2d_matches_oracle(grid):
+    g, nbr, rng = grid
+    for cin, cout in ((16, 16), (3, 16), (32, 16)):
+        feats = make_feats(rng, g.b_cap, cin, g.occ)
+        w = jnp.asarray(
+            rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1)
+        want = np.asarray(bricks.subm_conv3(
+            feats, g.occ, nbr, w, compute_dtype=jnp.float32))
+        x2 = feats.reshape(g.b_cap, -1)
+        got = np.asarray(bricks2d.subm_conv3_2d(
+            x2, g.occ, nbr, w, compute_dtype=jnp.float32))
+        np.testing.assert_allclose(
+            got.reshape(want.shape), want, rtol=1e-5, atol=1e-5)
+
+
+def test_down_conv_2d_matches_oracle(grid):
+    g, nbr, rng = grid
+    ds = bricks.build_brick_downsample(g.table, g.occ, 256)
+    cin, cout = 16, 32
+    feats = make_feats(rng, g.b_cap, cin, g.occ)
+    w = jnp.asarray(rng.normal(size=(8, cin, cout)).astype(np.float32))
+    want = np.asarray(bricks.down_conv2(feats, ds, w,
+                                        compute_dtype=jnp.float32))
+    got = np.asarray(bricks2d.down_conv2_2d(
+        feats.reshape(g.b_cap, -1), ds.parent_occ, ds.parent_children, w,
+        compute_dtype=jnp.float32))
+    np.testing.assert_allclose(got.reshape(want.shape), want,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_up_conv_2d_matches_oracle(grid):
+    g, nbr, rng = grid
+    ds = bricks.build_brick_downsample(g.table, g.occ, 256)
+    cin, cout = 32, 16
+    pf = rng.normal(size=(256, bricks.CELLS, cin)).astype(np.float32)
+    pf = jnp.asarray(pf * np.asarray(ds.parent_occ)[..., None])
+    w = jnp.asarray(rng.normal(size=(8, cin, cout)).astype(np.float32))
+    want = np.asarray(bricks.up_conv2(pf, g.occ, ds, w,
+                                      compute_dtype=jnp.float32))
+    got = np.asarray(bricks2d.up_conv2_2d(
+        pf.reshape(256, -1), g.occ, ds.child_parent, ds.parity, w,
+        compute_dtype=jnp.float32))
+    np.testing.assert_allclose(got.reshape(want.shape), want,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_conv1x1_2d(grid):
+    g, nbr, rng = grid
+    cin, cout = 16, 32
+    feats = make_feats(rng, g.b_cap, cin, g.occ)
+    w = jnp.asarray(rng.normal(size=(cin, cout)).astype(np.float32))
+    want = np.asarray(jnp.einsum('bnc,co->bno', feats, w)
+                      * g.occ[..., None])
+    got = np.asarray(bricks2d.conv1x1_2d(
+        feats.reshape(g.b_cap, -1), g.occ, w, compute_dtype=jnp.float32))
+    np.testing.assert_allclose(got.reshape(want.shape), want,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_subm_conv_2d_grad_flows(grid):
+    """2D conv is autodiff-transparent (pure XLA ops, no custom VJP)."""
+    g, nbr, rng = grid
+    cin = cout = 8
+    feats = make_feats(rng, g.b_cap, cin, g.occ)
+    w = jnp.asarray(
+        rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1)
+    x2 = feats.reshape(g.b_cap, -1)
+
+    def loss2d(x2, w):
+        return bricks2d.subm_conv3_2d(x2, g.occ, nbr, w,
+                                      compute_dtype=jnp.float32).sum()
+
+    def loss3d(x, w):
+        return bricks.subm_conv3(x, g.occ, nbr, w,
+                                 compute_dtype=jnp.float32).sum()
+
+    gx2, gw2 = jax.grad(loss2d, argnums=(0, 1))(x2, w)
+    gx3, gw3 = jax.grad(loss3d, argnums=(0, 1))(feats, w)
+    np.testing.assert_allclose(np.asarray(gx2).reshape(gx3.shape),
+                               np.asarray(gx3), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw2), np.asarray(gw3),
+                               rtol=1e-4, atol=1e-4)
