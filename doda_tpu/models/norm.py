@@ -27,11 +27,15 @@ import jax.numpy as jnp
 class MaskedBatchNorm(nn.Module):
     """BatchNorm over masked elements with (optionally) per-domain stats.
 
-    Call with x (..., C) and mask (...) broadcastable to x's leading dims.
     ``domain`` is a traced int32 scalar (ignored unless ``dsnorm``).
     Matches torch BN semantics: normalize by biased batch variance, track
     running stats with unbiased variance, momentum 0.1
     (ref: model/unet.py:28 uses eps=1e-4, momentum=0.1).
+
+    Layout: x is wide-lane 2D ``(rows, 64*C)`` with ``mask`` the ``(rows,
+    64)`` cell-occupancy — per-channel quantities are tiled across the 64
+    cell blocks so no C-minor tensor is ever materialized (8x HBM tile
+    padding at C = 16; see ops/bricks2d.py).
     """
 
     features: int
@@ -43,6 +47,7 @@ class MaskedBatchNorm(nn.Module):
     @nn.compact
     def __call__(self, x, mask, train: bool, domain=0):
         c = self.features
+        cells = x.shape[-1] // c
         n_domains = 2 if self.dsnorm else 1
         ra_mean = self.variable('batch_stats', 'mean',
                                 lambda: jnp.zeros((n_domains, c)))
@@ -51,14 +56,13 @@ class MaskedBatchNorm(nn.Module):
         d = jnp.asarray(domain if self.dsnorm else 0, jnp.int32)
 
         if train:
-            m = mask.astype(jnp.float32)[..., None]
-            # Sums over every leading axis: with the batch dim sharded on a
+            mrep = jnp.repeat(mask, c, axis=1)
+            xm = jnp.where(mrep, x, 0).astype(jnp.float32)
+            # Sums over all rows and cells: with the row dim sharded on a
             # mesh this is a global (cross-replica) reduction -> SyncBN.
-            count = jnp.maximum(m.sum(), 1.0)
-            xm = x.astype(jnp.float32) * m
-            mean = xm.sum(axis=tuple(range(x.ndim - 1))) / count
-            var = (xm * x).sum(axis=tuple(range(x.ndim - 1))) / count \
-                - mean * mean
+            count = jnp.maximum(mask.sum().astype(jnp.float32), 1.0)
+            mean = xm.reshape(-1, c).sum(0) / count
+            var = (xm * xm).reshape(-1, c).sum(0) / count - mean * mean
             var = jnp.maximum(var, 0.0)
             if not self.is_initializing():
                 unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
@@ -71,9 +75,13 @@ class MaskedBatchNorm(nn.Module):
             mean = ra_mean.value[d]
             var = ra_var.value[d]
 
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        rs = jax.lax.rsqrt(var + self.eps)
+        scale_eff, bias_eff = rs, -mean * rs
         if self.affine:
             scale = self.param('scale', nn.initializers.ones, (c,))
             bias = self.param('bias', nn.initializers.zeros, (c,))
-            y = y * scale + bias
-        return jnp.where(mask[..., None], y, 0.0).astype(x.dtype)
+            scale_eff = rs * scale
+            bias_eff = bias - mean * rs * scale
+        y = (x.astype(jnp.float32) * jnp.tile(scale_eff, cells)
+             + jnp.tile(bias_eff, cells))
+        return jnp.where(jnp.repeat(mask, c, axis=1), y, 0.0).astype(x.dtype)

@@ -1,4 +1,4 @@
-"""Submanifold sparse 3D U-Net on the brick engine.
+"""Submanifold sparse 3D U-Net on the wide-lane brick engine.
 
 Architecture mirrors the reference exactly (7-level U-Net with residual
 blocks, ref: model/unet.py:15-69 and model/unet_block.py:10-100):
@@ -16,8 +16,10 @@ TPU-first design decisions:
   per batch by ``build_level_plan`` and threaded through the module —
   exactly spconv's ``indice_key`` sharing, made explicit
   (ref: model/unet_block.py:26-29,62,70-78),
-* all tensors are padded, statically shaped, batched per scene
-  (Batch, B_cap_level, 64, C) with vmapped index ops and flat GEMMs,
+* activations are wide-lane 2D ``(batch*brick_cap, 64*C)`` tensors with
+  scenes flattened into the row dim (global null row per table); every
+  rearrangement is a lane-slice concat or a wide row gather
+  (ops/bricks2d.py — C-minor layouts pay 8x TPU tile padding),
 * convs run in bfloat16 on the MXU with f32 accumulation; norms in f32.
 """
 
@@ -30,9 +32,11 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.bricks import (BrickGrid, brick_feats, brickify,
+from ..ops import bricks2d
+from ..ops.bricks import (CELLS, BrickGrid, brick_feats, brickify,
                           build_brick_downsample, build_brick_rulebook,
-                          down_conv2, subm_conv3, unbrick_feats, up_conv2)
+                          subm_conv3)
+from ..ops.coords import pad_rows
 
 Dtype = Any
 
@@ -89,55 +93,76 @@ def build_level_plan(coords: jax.Array, valid: jax.Array,
 
 
 # ---------------------------------------------------------------------------
-# batched op wrappers (leading scene dim on both data and indices)
+# scene flattening: (Batch, cap, ...) index tables -> flat rows with a
+# single global null id per table (bricks2d convention: null == n_rows)
 # ---------------------------------------------------------------------------
 
-def _subm_impl():
+class FlatLevel(NamedTuple):
+    occ: jax.Array        # (Batch*cap, 64) bool
+    nbr: jax.Array        # (Batch*cap, 27) int32, null == Batch*cap
+
+
+class FlatDown(NamedTuple):
+    child_parent: jax.Array     # (Batch*cap_l,), null == Batch*cap_{l+1}
+    parity: jax.Array           # (Batch*cap_l,)
+    parent_children: jax.Array  # (Batch*cap_{l+1}, 8), null == Batch*cap_l
+
+
+def _flat_ids(ids: jax.Array, cap: int) -> jax.Array:
+    """(Batch, n, ...) per-scene ids (null == cap) -> flat global ids."""
+    bt = ids.shape[0]
+    offs = jnp.arange(bt, dtype=jnp.int32) * cap
+    offs = offs.reshape((bt,) + (1,) * (ids.ndim - 1))
+    flat = jnp.where(ids >= cap, bt * cap, ids + offs)
+    return flat.reshape((-1,) + ids.shape[2:])
+
+
+def flatten_plan(plan: LevelPlan):
+    """Batched LevelPlan -> per-level flat tables for the 2D engine."""
+    levels, downs = [], []
+    for occ, nbr in zip(plan.occs, plan.nbrs):
+        cap = occ.shape[1]
+        levels.append(FlatLevel(occ=occ.reshape(-1, CELLS),
+                                nbr=_flat_ids(nbr, cap)))
+    for lvl, ds in enumerate(plan.downs):
+        cap_c = plan.occs[lvl].shape[1]
+        cap_p = plan.occs[lvl + 1].shape[1]
+        downs.append(FlatDown(
+            child_parent=_flat_ids(ds.child_parent, cap_p),
+            parity=ds.parity.reshape(-1),
+            parent_children=_flat_ids(ds.parent_children, cap_c)))
+    return levels, downs
+
+
+# ---------------------------------------------------------------------------
+# conv wrappers (flat 2D activations; env-selectable engine for A/B)
+# ---------------------------------------------------------------------------
+
+def _subm_impl() -> str:
     """Select the submanifold-conv engine (env override for A/B runs).
 
-    Default everywhere: the concat-assembly XLA path (``subm_conv3_v2``)
-    — measured 3x faster than both round-1 engines on v5e (15.3 ms vs
-    46/53 ms per level-0 conv) because assembly is a single fused
-    gather+concat pass and the conv is exact-tap MXU work. The Pallas
-    kernels remain for A/B: ``DODA_CONV=pallas2`` (banded GEMM, fast
-    GEMM core but store-bound assembly), ``DODA_CONV=pallas1`` (round-1
-    kernel), ``DODA_CONV=oracle`` (shell-gather reference engine)."""
+    Default: the wide-lane banded-1D engine (``bricks2d.subm_conv3_2d``).
+    ``DODA_CONV=xla`` routes through the 3D concat-assembly engine
+    (``bricks.subm_conv3_v2``), ``DODA_CONV=oracle`` through the shell-
+    gather oracle — both via reshape shims, for A/B and debugging."""
     import os
     sel = os.environ.get('DODA_CONV', '')
-    if sel in ('oracle', 'pallas1', 'pallas2'):
-        return sel
-    return 'xla'
+    return sel if sel in ('oracle', 'xla') else '2d'
 
 
-def _bsubm(x, occ, nbr, w, dtype):
+def _fsubm(x2, fl: FlatLevel, w, dtype):
     impl = _subm_impl()
-    if impl in ('pallas1', 'pallas2', 'xla'):
-        # Flatten scenes into the brick dim (vmap of pallas_call would
-        # fold the batch into the VMEM block and overflow it): per-scene
-        # neighbor ids get a scene offset; every scene's null slot (cap)
-        # maps to the single global null row at batch*cap.
-        if impl == 'pallas1':
-            from ..ops.pallas_halo import halo_conv as conv
-        elif impl == 'pallas2':
-            from ..ops.pallas_halo2 import halo_conv2 as conv
-        else:
-            from ..ops.bricks import subm_conv3_v2 as conv
-        bt, cap = nbr.shape[0], nbr.shape[1]
-        offs = (jnp.arange(bt, dtype=jnp.int32) * cap)[:, None, None]
-        nbr_flat = jnp.where(nbr >= cap, bt * cap, nbr + offs)
-        out = conv(x.reshape(bt * cap, *x.shape[2:]),
-                   occ.reshape(bt * cap, -1),
-                   nbr_flat.reshape(bt * cap, 27), w, dtype)
-        return out.reshape(bt, cap, out.shape[-2], out.shape[-1])
-    return jax.vmap(lambda f, o, n: subm_conv3(f, o, n, w, dtype))(x, occ, nbr)
-
-
-def _bdown(x, ds, w, dtype):
-    return jax.vmap(lambda f, d: down_conv2(f, d, w, dtype))(x, ds)
-
-
-def _bup(p, occ, ds, w, dtype):
-    return jax.vmap(lambda f, o, d: up_conv2(f, o, d, w, dtype))(p, occ, ds)
+    if impl == '2d':
+        return bricks2d.subm_conv3_2d(x2, fl.occ, fl.nbr, w, dtype)
+    b = x2.shape[0]
+    cin = x2.shape[1] // CELLS
+    x3 = x2.reshape(b, CELLS, cin)
+    if impl == 'xla':
+        from ..ops.bricks import subm_conv3_v2
+        out = subm_conv3_v2(x3, fl.occ, fl.nbr, w, dtype)
+    else:
+        out = subm_conv3(x3, fl.occ, fl.nbr, w, dtype)
+    return out.reshape(b, -1).astype(x2.dtype)
 
 
 def _conv_init(key, shape, dtype=jnp.float32):
@@ -160,21 +185,22 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, occ, nbr, train, domain):
+        fl = FlatLevel(occ=occ, nbr=nbr)
         if self.cin == self.cout:
             identity = x
         else:
             wi = self.param('i_kernel', _conv_init, (self.cin, self.cout))
-            identity = jnp.einsum('...i,io->...o', x, wi)
+            identity = bricks2d.conv1x1_2d(x, occ, wi, self.dtype)
         h = MaskedBatchNorm(self.cin, dsnorm=self.dsnorm)(x, occ, train,
                                                           domain)
         h = nn.relu(h)
         w1 = self.param('kernel1', _conv_init, (27, self.cin, self.cout))
-        h = _bsubm(h, occ, nbr, w1, self.dtype)
+        h = _fsubm(h, fl, w1, self.dtype)
         h = MaskedBatchNorm(self.cout, dsnorm=self.dsnorm)(h, occ, train,
                                                            domain)
         h = nn.relu(h)
         w2 = self.param('kernel2', _conv_init, (27, self.cout, self.cout))
-        h = _bsubm(h, occ, nbr, w2, self.dtype)
+        h = _fsubm(h, fl, w2, self.dtype)
         return h + identity
 
 
@@ -192,7 +218,7 @@ class VGGBlock(nn.Module):
                                                           domain)
         h = nn.relu(h)
         w = self.param('kernel', _conv_init, (27, self.cin, self.cout))
-        return _bsubm(h, occ, nbr, w, self.dtype)
+        return _fsubm(h, FlatLevel(occ=occ, nbr=nbr), w, self.dtype)
 
 
 class UBlock(nn.Module):
@@ -205,7 +231,7 @@ class UBlock(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, plan: LevelPlan, level: int, train, domain):
+    def __call__(self, x, levels, downs, level: int, train, domain):
         p = self.planes[0]
         # remat: recompute block internals (halo gathers, conv inputs) in
         # the backward pass instead of storing them — without this every
@@ -213,7 +239,7 @@ class UBlock(nn.Module):
         block = nn.remat(ResidualBlock if self.residual else VGGBlock,
                          static_argnums=(4,))
         kw = dict(dsnorm=self.dsnorm, dtype=self.dtype)
-        occ, nbr = plan.occs[level], plan.nbrs[level]
+        occ, nbr = levels[level].occ, levels[level].nbr
 
         for i in range(self.block_reps):
             x = block(p, p, name=f'block{i}', **kw)(x, occ, nbr, train,
@@ -222,30 +248,43 @@ class UBlock(nn.Module):
             return x
         identity = x
 
-        ds = jax.tree.map(lambda a: a, plan.downs[level])  # BrickDown pytree
+        fd = downs[level]
         h = MaskedBatchNorm(p, dsnorm=self.dsnorm, name='conv_norm')(
             x, occ, train, domain)
         h = nn.relu(h)
         wd = self.param('down_kernel', _conv_init, (8, p, self.planes[1]))
-        h = _bdown(h, ds, wd, self.dtype)
+        h = bricks2d.down_conv2_2d(h, levels[level + 1].occ,
+                                   fd.parent_children, wd, self.dtype)
 
         h = UBlock(self.planes[1:], self.block_reps, self.residual,
                    self.dsnorm, self.dtype, name='u')(
-            h, plan, level + 1, train, domain)
+            h, levels, downs, level + 1, train, domain)
 
         h = MaskedBatchNorm(self.planes[1], dsnorm=self.dsnorm,
-                            name='deconv_norm')(h, plan.occs[level + 1],
+                            name='deconv_norm')(h, levels[level + 1].occ,
                                                 train, domain)
         h = nn.relu(h)
         wu = self.param('up_kernel', _conv_init, (8, self.planes[1], p))
-        h = _bup(h, occ, ds, wu, self.dtype)
+        h = bricks2d.up_conv2_2d(h, occ, fd.child_parent, fd.parity, wu,
+                                 self.dtype)
 
-        x = jnp.concatenate([identity, h], axis=-1)  # skip-concat (2p)
+        x = _concat_channels(identity, h, p, p)   # skip-concat (2p)
         for i in range(self.block_reps):
             cin = 2 * p if i == 0 else p
             x = block(cin, p, name=f'tail{i}', **kw)(x, occ, nbr, train,
                                                      domain)
         return x
+
+
+def _concat_channels(a: jax.Array, b: jax.Array, ca: int,
+                     cb: int) -> jax.Array:
+    """Per-cell channel concat of two (rows, 64*C) tensors — one
+    128-input lane concat (the wide-lane skip connection)."""
+    parts = []
+    for cell in range(CELLS):
+        parts.append(a[:, cell * ca:(cell + 1) * ca])
+        parts.append(b[:, cell * cb:(cell + 1) * cb])
+    return jnp.concatenate(parts, axis=1)
 
 
 class SparseConvNet(nn.Module):
@@ -269,20 +308,33 @@ class SparseConvNet(nn.Module):
         pointgroup_ops.voxelization call at ref model/unet.py:91."""
         m = self.mid_channel
         grid0 = plan.grid0
-        x = jax.vmap(lambda f, g: brick_feats(f, g, 4))(point_feats, grid0)
+        bt, cap0 = grid0.occ.shape[0], grid0.occ.shape[1]
+        levels, downs = flatten_plan(plan)
+
+        x3 = jax.vmap(lambda f, g: brick_feats(f, g, 4))(point_feats, grid0)
+        x = x3.reshape(bt * cap0, CELLS * self.in_channel)
 
         w_in = self.param('input_kernel', _conv_init, (27, self.in_channel, m))
-        x = _bsubm(x, plan.occs[0], plan.nbrs[0], w_in, self.dtype)
+        x = _fsubm(x.astype(self.dtype), levels[0], w_in, self.dtype)
 
         planes = tuple(m * (i + 1) for i in range(self.num_levels))
         x = UBlock(planes, self.block_reps, self.block_residual, self.dsnorm,
-                   self.dtype, name='unet')(x, plan, 0, train, domain)
+                   self.dtype, name='unet')(x, levels, downs, 0, train,
+                                            domain)
 
         x = MaskedBatchNorm(m, dsnorm=self.dsnorm, name='output_norm')(
-            x, plan.occs[0], train, domain)
+            x, levels[0].occ, train, domain)
         x = nn.relu(x)
 
-        out_feats = jax.vmap(unbrick_feats)(x, grid0)  # voxel -> point
+        # voxel -> point gather (ref model/unet.py:62): flat global cell
+        # ids with one zero pad row for misses
+        cells = pad_rows(x.reshape(bt * cap0 * CELLS, m))
+        gidx = jax.vmap(lambda g: g.flat_index())(grid0)  # (Batch, N_cap)
+        offs = (jnp.arange(bt, dtype=jnp.int32) * (cap0 * CELLS))[:, None]
+        gidx = jnp.where(gidx >= cap0 * CELLS, bt * cap0 * CELLS,
+                         gidx + offs)
+        out_feats = cells[gidx]                 # (Batch, N_cap, m)
+
         logits = nn.Dense(self.n_classes, name='linear',
                           kernel_init=nn.initializers.lecun_uniform())(
             out_feats.astype(jnp.float32))
