@@ -36,7 +36,6 @@ from ..ops import bricks2d
 from ..ops.bricks import (CELLS, BrickGrid, brick_feats, brickify,
                           build_brick_downsample, build_brick_rulebook,
                           subm_conv3)
-from ..ops.coords import pad_rows
 
 Dtype = Any
 
@@ -327,13 +326,14 @@ class SparseConvNet(nn.Module):
         x = nn.relu(x)
 
         # voxel -> point gather (ref model/unet.py:62): flat global cell
-        # ids with one zero pad row for misses
-        cells = pad_rows(x.reshape(bt * cap0 * CELLS, m))
+        # ids; misses handled by clamp + where (padding would copy the
+        # whole 6M-row cell table to add one zero row)
+        cells = x.reshape(bt * cap0 * CELLS, m)
         gidx = jax.vmap(lambda g: g.flat_index())(grid0)  # (Batch, N_cap)
         offs = (jnp.arange(bt, dtype=jnp.int32) * (cap0 * CELLS))[:, None]
-        gidx = jnp.where(gidx >= cap0 * CELLS, bt * cap0 * CELLS,
-                         gidx + offs)
-        out_feats = cells[gidx]                 # (Batch, N_cap, m)
+        miss = gidx >= cap0 * CELLS
+        gidx = jnp.minimum(gidx + offs, bt * cap0 * CELLS - 1)
+        out_feats = jnp.where(miss[..., None], 0, cells[gidx])
 
         logits = nn.Dense(self.n_classes, name='linear',
                           kernel_init=nn.initializers.lecun_uniform())(

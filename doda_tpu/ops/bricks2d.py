@@ -186,37 +186,42 @@ def subm_conv3_2d(x2: jax.Array, occ: jax.Array, nbr: jax.Array,
     x = x2.astype(compute_dtype)
     wb = banded_weights(weights.astype(compute_dtype))
 
-    tab = jnp.pad(extract_tab_yz(x, cin), ((0, 1), (0, 0)))
+    # null handling everywhere is clamp + where, NOT a padded copy:
+    # jnp.pad of a (B, wC) table copies the whole table to add one zero
+    # row (traced at ~20 ms of pad+reshape per level-0 conv)
+    def null_gather(table, idx):
+        g = table[jnp.minimum(idx, b - 1)]
+        return jnp.where((idx < b)[:, None], g, 0)
+
+    tab = extract_tab_yz(x, cin)                # (B, 80*cin)
     plan, _ = _yz_piece_plan()
     gathered = {}
     for d in _OFFS2:
         st, cells = plan[d]
         col = dir3_index(0, *d)
-        gathered[d] = tab[:, st * cin:(st + len(cells)) * cin][nbr[:, col]]
+        gathered[d] = null_gather(
+            tab[:, st * cin:(st + len(cells)) * cin], nbr[:, col])
 
-    parts = []
+    rows = []                                   # 4 center planes (B, 36C)
     for blocks in _plane_blocks():
+        parts = []
         for kind, d, lane0, ln in blocks:
-            if kind == 'center':
-                parts.append(x[:, lane0 * cin:(lane0 + ln) * cin])
-            else:
-                parts.append(
-                    gathered[d][:, lane0 * cin:(lane0 + ln) * cin])
-    p = jnp.concatenate(parts, axis=1)          # (B, 144*cin)
+            src = x if kind == 'center' else gathered[d]
+            parts.append(src[:, lane0 * cin:(lane0 + ln) * cin])
+        rows.append(jnp.concatenate(parts, axis=1))
 
-    p2 = jnp.pad(p.reshape(b * BRICK, PLANE * cin), ((0, 1), (0, 0)))
-    xm = nbr[:, dir3_index(-1, 0, 0)]
-    xp = nbr[:, dir3_index(1, 0, 0)]
-    row_m = p2[jnp.where(xm >= b, b * BRICK, xm * BRICK + BRICK - 1)]
-    row_p = p2[jnp.where(xp >= b, b * BRICK, xp * BRICK)]
-    p6 = jnp.concatenate([row_m, p, row_p], axis=1)   # (B, 216*cin)
+    # x-/x+ neighbor planes are those neighbors' own boundary rows
+    row_m = null_gather(rows[BRICK - 1], nbr[:, dir3_index(-1, 0, 0)])
+    row_p = null_gather(rows[0], nbr[:, dir3_index(1, 0, 0)])
+    # one 3D concat writes the conv input directly — no 2D->3D relayout
+    p6 = jnp.concatenate(
+        [r[:, None, :] for r in [row_m, *rows, row_p]], axis=1)
     # barrier: stop XLA re-fusing the whole assembly into the conv's
     # window reads (same hazard as bricks.subm_conv3_v2)
     p6 = jax.lax.optimization_barrier(p6)
 
     out = jax.lax.conv_general_dilated(
-        p6.reshape(b, H, PLANE * cin), wb, (1,), 'VALID',
-        dimension_numbers=('NWC', 'WIO', 'NWC'))
+        p6, wb, (1,), 'VALID', dimension_numbers=('NWC', 'WIO', 'NWC'))
     out = out.reshape(b, CELLS * cout).astype(x2.dtype)
     return jnp.where(_occ_rep(occ, cout), out, 0)
 
@@ -300,8 +305,11 @@ def down_conv2_2d(x2: jax.Array, occ_p: jax.Array,
     rows = x.reshape(b * WINDOWS, 8 * cin)
     w = weights.reshape(8 * cin, cout).astype(compute_dtype)
     child_out = jnp.dot(rows, w).reshape(b, WINDOWS * cout)
-    child_out = jnp.pad(child_out, ((0, 1), (0, 0)))
-    parts = [child_out[parent_children[:, o]] for o in range(8)]
+    parts = []
+    for o in range(8):
+        idx = parent_children[:, o]
+        g = child_out[jnp.minimum(idx, b - 1)]
+        parts.append(jnp.where((idx < b)[:, None], g, 0))
     pow_ = jnp.concatenate(parts, axis=1)      # (P, 64*cout), (o, w, c)
     p_raster = _lane_permute(pow_, _inv(_ow_cells()), cout)
     p_raster = p_raster.astype(x2.dtype)
@@ -321,10 +329,9 @@ def up_conv2_2d(p2: jax.Array, occ_c: jax.Array, child_parent: jax.Array,
     cout = weights.shape[-1]
     b = child_parent.shape[0]
     par_ow = _lane_permute(p2.astype(compute_dtype), _ow_cells(), cin)
-    par_rows = jnp.pad(par_ow.reshape(p * 8, WINDOWS * cin),
-                       ((0, 1), (0, 0)))
-    idx = jnp.where(child_parent >= p, p * 8, child_parent * 8 + parity)
-    corner = par_rows[idx]                       # (B, 8w*cin)
+    par_rows = par_ow.reshape(p * 8, WINDOWS * cin)
+    idx = jnp.minimum(child_parent * 8 + parity, p * 8 - 1)
+    corner = jnp.where((child_parent < p)[:, None], par_rows[idx], 0)
     rows = corner.reshape(b * WINDOWS, cin)
     # W[o, c, :] -> (cin, 8*cout) so out lanes come back (o, cout)
     w = jnp.transpose(weights, (1, 0, 2)).reshape(
