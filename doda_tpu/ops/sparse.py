@@ -57,16 +57,28 @@ def build_subm_rulebook(table: CoordTable, kernel_size: int = 3) -> jax.Array:
     (ref: model/unet_block.py:26-29,62).
     """
     offs = jnp.asarray(kernel_offsets(kernel_size))  # (K, 3)
+    k = offs.shape[0]
+    assert k % 2 == 1, 'mirror trick needs an odd (centered) stencil'
+    half = k // 2
+    cap = table.cap
     valid = table.valid
-    queries = table.coords[:, None, :] + offs[None, :, :]  # (V, K, 3)
+    # search only the first half of the stencil: offset o and k-1-o are
+    # negatives of each other, so nbr[i, o] == j  <=>  nbr[j, k-1-o] == i
+    # — the mirrored half is one small int scatter instead of doubling
+    # the sort-join (the rulebook sort-joins dominate plan-build time)
+    queries = table.coords[:, None, :] + offs[None, :half, :]
     qvalid = jnp.broadcast_to(valid[:, None], queries.shape[:2])
-    nbr = lookup(table, queries, qvalid)  # (V, K)
-    # center offset is the identity — avoid relying on search for it
-    center = (kernel_size ** 3) // 2
-    self_idx = jnp.where(valid, jnp.arange(table.cap, dtype=jnp.int32),
-                         table.cap)
-    nbr = nbr.at[:, center].set(self_idx)
-    return nbr
+    nbr_half = lookup(table, queries, qvalid)  # (V, half)
+    self_idx = jnp.where(valid, jnp.arange(cap, dtype=jnp.int32), cap)
+
+    mirror = jnp.full((cap + 1, half), cap, jnp.int32)
+    cols = jnp.broadcast_to(jnp.arange(half, dtype=jnp.int32)[None, :],
+                            nbr_half.shape)
+    rows = jnp.minimum(nbr_half, cap)           # nulls -> dump row
+    mirror = mirror.at[rows, cols].set(
+        jnp.broadcast_to(self_idx[:, None], nbr_half.shape))
+    return jnp.concatenate(
+        [nbr_half, self_idx[:, None], mirror[:cap, ::-1]], axis=1)
 
 
 def subm_conv(feats: jax.Array, rulebook: jax.Array, weights: jax.Array,
