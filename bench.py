@@ -23,7 +23,10 @@ import numpy as np
 BATCH = 4
 N_CAP = 262144
 N_REAL = 150_000
-BRICK_CAP = 24576
+# Measured: the synthetic scenes hold ~40.3k occupied 4^3 bricks each.
+# 24576 (round 1) silently dropped 39% of every scene's bricks — cap must
+# clear the real count or the bench measures a truncated model.
+BRICK_CAP = 49152
 TARGET_SCENES_PER_SEC = 75.0
 
 

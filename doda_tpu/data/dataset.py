@@ -174,6 +174,33 @@ class Dataset:
     def __len__(self):
         return len(self.data_list)
 
+    def check_brick_capacity(self, batch, brick_cap, logger=None):
+        """One-shot overflow audit: count each scene's occupied bricks
+        (host numpy) against the level-0 cap. Bricks beyond capacity fall
+        into the null slot silently (engine convention), so CLIs call
+        this on their first batch to surface undersized ``brick_cap``
+        configs instead of quietly evaluating a truncated scene."""
+        from ..ops.bricks import BRICK
+        coords = np.asarray(batch.points.coords)
+        valid = np.asarray(batch.points.valid)
+        worst = 0
+        for b in range(coords.shape[0]):
+            c = coords[b][valid[b]]
+            if len(c) == 0:
+                continue
+            worst = max(worst, len(np.unique(c // BRICK, axis=0)))
+        if worst > brick_cap and logger is not None:
+            logger.warning(
+                'brick capacity overflow: a scene occupies %d bricks but '
+                'DATA_PROCESSOR.brick_cap is %d — %.0f%% of bricks are '
+                'being DROPPED; raise brick_cap', worst, brick_cap,
+                100.0 * (worst - brick_cap) / worst)
+        elif logger is not None:
+            logger.info('brick capacity ok: worst scene %d / cap %d '
+                        '(%.2fx headroom)', worst, brick_cap,
+                        brick_cap / max(worst, 1))
+        return worst
+
     def __getitem__(self, item):
         raise NotImplementedError
 

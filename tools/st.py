@@ -178,6 +178,10 @@ def train_epoch(args, cfg, logger, writer, source_reader, tar_loader,
     for i, batch in enumerate(tar_loader):
         if (i + 1) == n_iter:  # manually drop last (ref :121-122)
             continue
+        if epoch == 0 and i == 0:
+            tar_loader.dataset.check_brick_capacity(
+                batch, cfg.DATA_CONFIG_TAR.DATA_PROCESSOR.get(
+                    'brick_cap', 32768), logger)
         meters['data'].update(time.time() - end)
         source_batch = source_reader.read_data()
         lr = float(lr_fn(epoch, i))

@@ -109,6 +109,10 @@ def train_epoch(args, cfg, logger, writer, train_loader, state, train_step,
     for i, batch in enumerate(train_loader):
         data_time.update(time.time() - end)
         lr = float(lr_fn(epoch, i))
+        if epoch == args.start_epoch and i == 0:
+            train_loader.dataset.check_brick_capacity(
+                batch, cfg.DATA_CONFIG.DATA_PROCESSOR.get(
+                    'brick_cap', 32768), logger)
         if profile_dir and epoch == args.start_epoch and i == 0:
             jax.profiler.start_trace(str(profile_dir))
         state, metrics = train_step(state, to_device(batch.points, mesh),
