@@ -264,8 +264,8 @@ class UBlock(nn.Module):
             x, occ, train, domain)
         h = nn.relu(h)
         wd = self.param('down_kernel', _conv_init, (8, p, self.planes[1]))
-        h = bricks2d.down_conv2_2d(h, levels[level + 1].occ,
-                                   fd.parent_children, wd, self.dtype)
+        h = bricks2d.down_conv2_2d(h, levels[level + 1].occ, fd, wd,
+                                   self.dtype)
 
         h = UBlock(self.planes[1:], self.block_reps, self.residual,
                    self.dsnorm, self.dtype, name='u')(
@@ -276,8 +276,7 @@ class UBlock(nn.Module):
                                                 train, domain)
         h = nn.relu(h)
         wu = self.param('up_kernel', _conv_init, (8, self.planes[1], p))
-        h = bricks2d.up_conv2_2d(h, occ, fd.child_parent, fd.parity, wu,
-                                 self.dtype)
+        h = bricks2d.up_conv2_2d(h, occ, fd, wu, self.dtype)
 
         x = _concat_channels(identity, h, p, p)   # skip-concat (2p)
         for i in range(self.block_reps):

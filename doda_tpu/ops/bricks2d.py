@@ -169,22 +169,12 @@ def _occ_rep(occ: jax.Array, cout: int) -> jax.Array:
     return jnp.repeat(occ, cout, axis=1)
 
 
-def subm_conv3_2d(x2: jax.Array, occ: jax.Array, nbr: jax.Array,
-                  weights: jax.Array,
-                  compute_dtype=jnp.bfloat16) -> jax.Array:
-    """Submanifold 3^3 conv on wide-lane bricks.
-
-    x2      (B, 64*cin) — zero at inactive cells (engine invariant)
-    occ     (B, 64) bool
-    nbr     (B, 27) int32 — flattened ids, null == B
-    weights (27, cin, cout) raster (dx, dy, dz)
-    returns (B, 64*cout) in x2.dtype, masked to active cells
-    """
+def _assemble_p6(x2: jax.Array, nbr: jax.Array,
+                 compute_dtype) -> jax.Array:
+    """Window assembly: (B, 64*cin) -> (B, 6, 36*cin) banded-conv input."""
     b, lanes = x2.shape
     cin = lanes // CELLS
-    cout = weights.shape[2]
     x = x2.astype(compute_dtype)
-    wb = banded_weights(weights.astype(compute_dtype))
 
     # null handling everywhere is clamp + where, NOT a padded copy:
     # jnp.pad of a (B, wC) table copies the whole table to add one zero
@@ -218,12 +208,78 @@ def subm_conv3_2d(x2: jax.Array, occ: jax.Array, nbr: jax.Array,
         [r[:, None, :] for r in [row_m, *rows, row_p]], axis=1)
     # barrier: stop XLA re-fusing the whole assembly into the conv's
     # window reads (same hazard as bricks.subm_conv3_v2)
-    p6 = jax.lax.optimization_barrier(p6)
+    return jax.lax.optimization_barrier(p6)
 
+
+def _flip_weights(w: jax.Array) -> jax.Array:
+    """w'[k] = w[26-k]^T — the transpose stencil (offsets negate)."""
+    return jnp.transpose(w[::-1], (0, 2, 1))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def subm_conv3_2d(x2: jax.Array, occ: jax.Array, nbr: jax.Array,
+                  weights: jax.Array,
+                  compute_dtype=jnp.bfloat16) -> jax.Array:
+    """Submanifold 3^3 conv on wide-lane bricks.
+
+    x2      (B, 64*cin) — zero at inactive cells (engine invariant)
+    occ     (B, 64) bool
+    nbr     (B, 27) int32 — flattened ids, null == B
+    weights (27, cin, cout) raster (dx, dy, dz)
+    returns (B, 64*cout) in x2.dtype, masked to active cells
+
+    Custom VJP: autodiff would turn every assembly gather into a
+    ~90 ns/row scatter-add in the backward. Instead dx is the same conv
+    with the flipped-transposed stencil (the submanifold rulebook is
+    symmetric: nbr[i, o] == j <=> nbr[j, 26-o] == i), and dW contracts
+    the re-assembled windows against the cotangent — gathers and GEMMs
+    only, both directions.
+    """
+    out = _subm_raw(x2, nbr, weights, compute_dtype)
+    return jnp.where(_occ_rep(occ, weights.shape[2]), out, 0)
+
+
+def _subm_raw(x2, nbr, weights, compute_dtype):
+    """Assembly + banded conv, unmasked (dx in the VJP must keep the
+    inactive-cell gradient — upstream masked producers zero it)."""
+    b = x2.shape[0]
+    cout = weights.shape[2]
+    wb = banded_weights(weights.astype(compute_dtype))
+    p6 = _assemble_p6(x2, nbr, compute_dtype)
     out = jax.lax.conv_general_dilated(
         p6, wb, (1,), 'VALID', dimension_numbers=('NWC', 'WIO', 'NWC'))
-    out = out.reshape(b, CELLS * cout).astype(x2.dtype)
-    return jnp.where(_occ_rep(occ, cout), out, 0)
+    return out.reshape(b, CELLS * cout).astype(x2.dtype)
+
+
+def _subm2d_fwd(x2, occ, nbr, weights, compute_dtype):
+    return (subm_conv3_2d(x2, occ, nbr, weights, compute_dtype),
+            (x2, occ, nbr, weights))
+
+
+def _subm2d_bwd(compute_dtype, res, g):
+    x2, occ, nbr, weights = res
+    b = x2.shape[0]
+    cin = weights.shape[1]
+    cout = weights.shape[2]
+    g = jnp.where(_occ_rep(occ, cout), g, 0)
+    # dx: conv of the cotangent with the transpose stencil (unmasked —
+    # matches the dense transpose exactly; upstream masks handle it)
+    dx = _subm_raw(g, nbr, _flip_weights(weights), compute_dtype)
+    # dW: contract re-assembled windows against g (remat the assembly —
+    # storing p6 across the whole network would blow HBM)
+    p6 = _assemble_p6(x2, nbr, compute_dtype)
+    g4 = g.reshape(b, BRICK, OUTP * cout).astype(compute_dtype)
+    dwb = jnp.stack([
+        jnp.einsum('bxk,bxn->kn', p6[:, i:i + BRICK], g4,
+                   preferred_element_type=jnp.float32)
+        for i in range(3)])
+    m = jnp.asarray(_band_np(cin, cout), jnp.float32)
+    d5 = dwb.reshape(3, PLANE, cin, OUTP, cout)
+    dw = jnp.einsum('pqrk,pqiro->kio', m, d5)
+    return dx.astype(x2.dtype), None, None, dw.astype(weights.dtype)
+
+
+subm_conv3_2d.defvjp(_subm2d_fwd, _subm2d_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -290,13 +346,37 @@ def _inv(cells):
     return tuple(inv)
 
 
-def down_conv2_2d(x2: jax.Array, occ_p: jax.Array,
-                  parent_children: jax.Array, weights: jax.Array,
+def _children_gather(vals: jax.Array, parent_children: jax.Array,
+                     b: int) -> jax.Array:
+    """(B, wC) child rows -> (P, 8*wC) octant-major parent assembly."""
+    parts = []
+    for o in range(8):
+        idx = parent_children[:, o]
+        g = vals[jnp.minimum(idx, b - 1)]
+        parts.append(jnp.where((idx < b)[:, None], g, 0))
+    return jnp.concatenate(parts, axis=1)
+
+
+def _octant_gather(par_ow: jax.Array, child_parent: jax.Array,
+                   parity: jax.Array, width: int) -> jax.Array:
+    """(P, 64C) octant-major parent rows -> (B, 8C) per-child octant."""
+    p = par_ow.shape[0]
+    par_rows = par_ow.reshape(p * 8, width)
+    idx = jnp.minimum(child_parent * 8 + parity, p * 8 - 1)
+    return jnp.where((child_parent < p)[:, None], par_rows[idx], 0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def down_conv2_2d(x2: jax.Array, occ_p: jax.Array, down,
+                  weights: jax.Array,
                   compute_dtype=jnp.bfloat16) -> jax.Array:
     """SparseConv3d(k=2, s=2): (B, 64*cin) children -> (P, 64*cout).
 
-    parent_children (P, 8) int32: child brick per parent octant, null==B.
+    ``down`` carries the flat maps (child_parent (B,), parity (B,),
+    parent_children (P, 8)); nulls are the respective row counts.
     weights (8, cin, cout), offset-major (xl*4 + yl*2 + zl).
+    Custom VJP keeps both directions gathers (autodiff would emit
+    scatter-adds for the parent assembly in backward).
     """
     b, lanes = x2.shape
     cin = lanes // CELLS
@@ -305,33 +385,57 @@ def down_conv2_2d(x2: jax.Array, occ_p: jax.Array,
     rows = x.reshape(b * WINDOWS, 8 * cin)
     w = weights.reshape(8 * cin, cout).astype(compute_dtype)
     child_out = jnp.dot(rows, w).reshape(b, WINDOWS * cout)
-    parts = []
-    for o in range(8):
-        idx = parent_children[:, o]
-        g = child_out[jnp.minimum(idx, b - 1)]
-        parts.append(jnp.where((idx < b)[:, None], g, 0))
-    pow_ = jnp.concatenate(parts, axis=1)      # (P, 64*cout), (o, w, c)
+    pow_ = _children_gather(child_out, down.parent_children, b)
     p_raster = _lane_permute(pow_, _inv(_ow_cells()), cout)
     p_raster = p_raster.astype(x2.dtype)
     return jnp.where(_occ_rep(occ_p, cout), p_raster, 0)
 
 
-def up_conv2_2d(p2: jax.Array, occ_c: jax.Array, child_parent: jax.Array,
-                parity: jax.Array, weights: jax.Array,
+def _down2d_fwd(x2, occ_p, down, weights, compute_dtype):
+    return (down_conv2_2d(x2, occ_p, down, weights, compute_dtype),
+            (x2, occ_p, down, weights))
+
+
+def _down2d_bwd(compute_dtype, res, g):
+    x2, occ_p, down, weights = res
+    b, lanes = x2.shape
+    cin = lanes // CELLS
+    cout = weights.shape[-1]
+    g = jnp.where(_occ_rep(occ_p, cout), g, 0).astype(compute_dtype)
+    g_ow = _lane_permute(g, _ow_cells(), cout)
+    g_child = _octant_gather(g_ow, down.child_parent, down.parity,
+                             WINDOWS * cout)       # (B, 8w*cout)
+    gc_rows = g_child.reshape(b * WINDOWS, cout)
+    w = weights.reshape(8 * cin, cout).astype(compute_dtype)
+    dx_rows = jnp.dot(gc_rows, w.T)                # (B*8, 8cin)
+    dx_wo = dx_rows.reshape(b, CELLS * cin)
+    dx = _lane_permute(dx_wo, _inv(_wo_cells()), cin).astype(x2.dtype)
+    x = _lane_permute(x2.astype(compute_dtype), _wo_cells(), cin)
+    rows = x.reshape(b * WINDOWS, 8 * cin)
+    dw = jnp.einsum('bk,bn->kn', rows, gc_rows,
+                    preferred_element_type=jnp.float32)
+    return dx, None, None, dw.reshape(8, cin, cout).astype(weights.dtype)
+
+
+down_conv2_2d.defvjp(_down2d_fwd, _down2d_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def up_conv2_2d(p2: jax.Array, occ_c: jax.Array, down,
+                weights: jax.Array,
                 compute_dtype=jnp.bfloat16) -> jax.Array:
     """SparseInverseConv3d(k=2): (P, 64*cin) parents -> (B, 64*cout).
 
-    child_parent (B,) int32 (null == P), parity (B,) int32 in [0, 8).
-    Each child reads the 8 parent cells of its octant through W[offset].
-    """
+    ``down`` as in ``down_conv2_2d``. Each child reads the 8 parent
+    cells of its octant through W[offset]. Gathers both ways (the VJP
+    assembles parent gradients via parent_children)."""
     p, lanes = p2.shape
     cin = lanes // CELLS
     cout = weights.shape[-1]
-    b = child_parent.shape[0]
+    b = down.child_parent.shape[0]
     par_ow = _lane_permute(p2.astype(compute_dtype), _ow_cells(), cin)
-    par_rows = par_ow.reshape(p * 8, WINDOWS * cin)
-    idx = jnp.minimum(child_parent * 8 + parity, p * 8 - 1)
-    corner = jnp.where((child_parent < p)[:, None], par_rows[idx], 0)
+    corner = _octant_gather(par_ow, down.child_parent, down.parity,
+                            WINDOWS * cin)
     rows = corner.reshape(b * WINDOWS, cin)
     # W[o, c, :] -> (cin, 8*cout) so out lanes come back (o, cout)
     w = jnp.transpose(weights, (1, 0, 2)).reshape(
@@ -339,6 +443,38 @@ def up_conv2_2d(p2: jax.Array, occ_c: jax.Array, child_parent: jax.Array,
     out8 = jnp.dot(rows, w).reshape(b, WINDOWS * 8 * cout)  # (w, o, c)
     out = _lane_permute(out8, _inv(_wo_cells()), cout).astype(p2.dtype)
     return jnp.where(_occ_rep(occ_c, cout), out, 0)
+
+
+def _up2d_fwd(p2, occ_c, down, weights, compute_dtype):
+    return (up_conv2_2d(p2, occ_c, down, weights, compute_dtype),
+            (p2, occ_c, down, weights))
+
+
+def _up2d_bwd(compute_dtype, res, g):
+    p2, occ_c, down, weights = res
+    p, lanes = p2.shape
+    cin = lanes // CELLS
+    cout = weights.shape[-1]
+    b = down.child_parent.shape[0]
+    g = jnp.where(_occ_rep(occ_c, cout), g, 0).astype(compute_dtype)
+    g_wo = _lane_permute(g, _wo_cells(), cout)     # (B, 8w*8o*cout)
+    g_rows = g_wo.reshape(b * WINDOWS, 8 * cout)
+    w = jnp.transpose(weights, (1, 0, 2)).reshape(
+        cin, 8 * cout).astype(compute_dtype)
+    dcorner = jnp.dot(g_rows, w.T)                 # (B*8w, cin)
+    dcorner = dcorner.reshape(b, WINDOWS * cin)
+    dp_ow = _children_gather(dcorner, down.parent_children, b)
+    dp = _lane_permute(dp_ow, _inv(_ow_cells()), cin).astype(p2.dtype)
+    par_ow = _lane_permute(p2.astype(compute_dtype), _ow_cells(), cin)
+    corner = _octant_gather(par_ow, down.child_parent, down.parity,
+                            WINDOWS * cin)
+    dw8 = jnp.einsum('bk,bn->kn', corner.reshape(b * WINDOWS, cin),
+                     g_rows, preferred_element_type=jnp.float32)
+    dw = jnp.transpose(dw8.reshape(cin, 8, cout), (1, 0, 2))
+    return dp, None, None, dw.astype(weights.dtype)
+
+
+up_conv2_2d.defvjp(_up2d_fwd, _up2d_bwd)
 
 
 def conv1x1_2d(x2: jax.Array, occ: jax.Array, weights: jax.Array,

@@ -86,9 +86,15 @@ def unique_coords(coords: jax.Array, valid: jax.Array, cap: int) -> CoordTable:
     """
     n_pts = coords.shape[0]
     k1, k2 = pack_coords(coords, valid)
-    order = jnp.lexsort((k2, k1))  # primary k1, secondary k2, stable
-    k1s, k2s = k1[order], k2[order]
-    valid_s = valid[order]
+    # One sort carries the original position; everything else about the
+    # sorted rows is derived from the keys themselves (validity = not
+    # sentinel; coords decode from the packing), so the former
+    # k1/k2/valid/coords gathers-by-order (~1M scalar gathers per scene
+    # at plan scale) disappear entirely.
+    pos = jnp.arange(n_pts, dtype=jnp.int32)
+    k1s, k2s, order = jax.lax.sort((k1, k2, pos), num_keys=2,
+                                   is_stable=True)
+    valid_s = k1s != _SENTINEL
 
     first = jnp.zeros((n_pts,), dtype=bool).at[0].set(True)
     new = (first | (k1s != jnp.roll(k1s, 1)) | (k2s != jnp.roll(k2s, 1))) & valid_s
@@ -97,17 +103,19 @@ def unique_coords(coords: jax.Array, valid: jax.Array, cap: int) -> CoordTable:
     # invalid or overflowed -> null slot
     vid_s = jnp.where(valid_s & (vid_s < cap), vid_s, cap)
 
-    # Scatter sorted unique coords into the table. Non-new rows all write the
-    # null slot (cap); its content is reset to sentinel afterwards.
+    # Scatter sorted unique coords (decoded from the packed keys) into
+    # the table. Non-new rows all write the null slot (cap); its content
+    # is reset to sentinel afterwards.
+    coords_s = jnp.stack([k1s, k2s // (2 ** 16), k2s % (2 ** 16)], axis=-1)
     slot = jnp.where(new & (vid_s < cap), vid_s, cap)
     table = jnp.full((cap + 1, 3), MAX_COORD, dtype=jnp.int32)
-    table = table.at[slot].set(coords[order].astype(jnp.int32))
+    table = table.at[slot].set(coords_s)
     table = table.at[cap].set(MAX_COORD)
     table = table[:cap]
 
-    # point -> voxel id in original order
-    p2v = jnp.full((n_pts,), cap, dtype=jnp.int32).at[order].set(
-        vid_s.astype(jnp.int32))
+    # point -> voxel id in original order: un-permute by sorting on the
+    # carried position (cheaper than a 1M-scalar scatter)
+    _, p2v = jax.lax.sort((order, vid_s.astype(jnp.int32)), num_keys=1)
 
     tk1, tk2 = pack_coords(table, jnp.arange(cap) < n)
     return CoordTable(coords=table, k1=tk1, k2=tk2, n=n, p2v=p2v)

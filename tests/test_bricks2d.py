@@ -42,6 +42,12 @@ def test_subm_conv_2d_matches_oracle(grid):
             got.reshape(want.shape), want, rtol=1e-5, atol=1e-5)
 
 
+def _down_maps(ds):
+    from doda_tpu.models.unet import FlatDown
+    return FlatDown(child_parent=ds.child_parent, parity=ds.parity,
+                    parent_children=ds.parent_children)
+
+
 def test_down_conv_2d_matches_oracle(grid):
     g, nbr, rng = grid
     ds = bricks.build_brick_downsample(g.table, g.occ, 256)
@@ -51,7 +57,7 @@ def test_down_conv_2d_matches_oracle(grid):
     want = np.asarray(bricks.down_conv2(feats, ds, w,
                                         compute_dtype=jnp.float32))
     got = np.asarray(bricks2d.down_conv2_2d(
-        feats.reshape(g.b_cap, -1), ds.parent_occ, ds.parent_children, w,
+        feats.reshape(g.b_cap, -1), ds.parent_occ, _down_maps(ds), w,
         compute_dtype=jnp.float32))
     np.testing.assert_allclose(got.reshape(want.shape), want,
                                rtol=1e-5, atol=1e-5)
@@ -67,10 +73,48 @@ def test_up_conv_2d_matches_oracle(grid):
     want = np.asarray(bricks.up_conv2(pf, g.occ, ds, w,
                                       compute_dtype=jnp.float32))
     got = np.asarray(bricks2d.up_conv2_2d(
-        pf.reshape(256, -1), g.occ, ds.child_parent, ds.parity, w,
+        pf.reshape(256, -1), g.occ, _down_maps(ds), w,
         compute_dtype=jnp.float32))
     np.testing.assert_allclose(got.reshape(want.shape), want,
                                rtol=1e-5, atol=1e-5)
+
+
+def test_down_up_2d_grads_match_oracle(grid):
+    """Gather-only custom VJPs vs the 3D oracle's autodiff."""
+    g, nbr, rng = grid
+    ds = bricks.build_brick_downsample(g.table, g.occ, 256)
+    dm = _down_maps(ds)
+    cin, cout = 8, 8
+    feats = make_feats(rng, g.b_cap, cin, g.occ)
+    wd = jnp.asarray(rng.normal(size=(8, cin, cout)).astype(np.float32))
+
+    gx2, gw2 = jax.grad(
+        lambda x, w: (bricks2d.down_conv2_2d(
+            x, ds.parent_occ, dm, w, compute_dtype=jnp.float32) ** 2
+        ).sum(), argnums=(0, 1))(feats.reshape(g.b_cap, -1), wd)
+    gx3, gw3 = jax.grad(
+        lambda x, w: (bricks.down_conv2(
+            x, ds, w, compute_dtype=jnp.float32) ** 2).sum(),
+        argnums=(0, 1))(feats, wd)
+    np.testing.assert_allclose(np.asarray(gx2).reshape(gx3.shape),
+                               np.asarray(gx3), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw2), np.asarray(gw3),
+                               rtol=1e-4, atol=1e-4)
+
+    pf = rng.normal(size=(256, bricks.CELLS, cin)).astype(np.float32)
+    pf = jnp.asarray(pf * np.asarray(ds.parent_occ)[..., None])
+    gp2, gw2 = jax.grad(
+        lambda p, w: (bricks2d.up_conv2_2d(
+            p, g.occ, dm, w, compute_dtype=jnp.float32) ** 2).sum(),
+        argnums=(0, 1))(pf.reshape(256, -1), wd)
+    gp3, gw3 = jax.grad(
+        lambda p, w: (bricks.up_conv2(
+            p, g.occ, ds, w, compute_dtype=jnp.float32) ** 2).sum(),
+        argnums=(0, 1))(pf, wd)
+    np.testing.assert_allclose(np.asarray(gp2).reshape(gp3.shape),
+                               np.asarray(gp3), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw2), np.asarray(gw3),
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_conv1x1_2d(grid):
