@@ -71,6 +71,10 @@ def make_scene(rng):
     return np.clip(c, 0, 2047)
 
 
+TRAIN_BATCH = 2     # batch 4 at ~150k pts needs 18.5G HBM for backward
+                    # (measured); 2/chip is the realistic train config
+
+
 def train_bench(state, mf, cfg, b_caps, coords, feats, valid):
     """--train mode: train-step throughput + input-pipeline keep-up ratio
     (data_time / batch_time — must stay well under 1 or the host feeds
@@ -79,6 +83,7 @@ def train_bench(state, mf, cfg, b_caps, coords, feats, valid):
     import jax.numpy as jnp
     from doda_tpu.utils.optim import build_optimizer
 
+    coords, feats, valid = (a[:TRAIN_BATCH] for a in (coords, feats, valid))
     tx = build_optimizer(cfg.OPTIMIZATION)
     train_step, _, _ = mf.make_steps(cfg, mf.build_model(cfg), tx, b_caps)
     labels = np.where(valid, np.random.default_rng(1).integers(
@@ -111,9 +116,9 @@ def train_bench(state, mf, cfg, b_caps, coords, feats, valid):
     cfg_from_yaml_file('cfgs/scannet/spconv.yaml', dcfg)
     dcfg.DATA_CONFIG.DATA_ROOT = os.path.join(root, 'scannetv2')
     from doda_tpu.data import build_dataloader
-    _, loader, _ = build_dataloader(dcfg.DATA_CONFIG, BATCH, dist=False,
-                                    workers=4, split='training',
-                                    training=True)
+    _, loader, _ = build_dataloader(dcfg.DATA_CONFIG, TRAIN_BATCH,
+                                    dist=False, workers=4,
+                                    split='training', training=True)
     it = iter(loader)
     next(it)                      # warm the worker pool
     t0 = time.perf_counter()
@@ -123,7 +128,8 @@ def train_bench(state, mf, cfg, b_caps, coords, feats, valid):
         n_data += 1
     data_t = (time.perf_counter() - t0) / n_data
     print(json.dumps({
-        'train_step_scenes_per_sec': round(BATCH / step_t, 3),
+        'train_batch': TRAIN_BATCH,
+        'train_step_scenes_per_sec': round(TRAIN_BATCH / step_t, 3),
         'step_time_s': round(step_t, 4),
         'data_batch_time_s': round(data_t, 4),
         'data_over_batch': round(data_t / step_t, 4),
