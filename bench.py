@@ -21,7 +21,9 @@ import time
 import numpy as np
 
 BATCH = 4
-N_CAP = 262144
+# 3*2^16: the sqrt(2)-spaced collate bucket a 150k-pt scene lands in
+# (pow2-only 262144 pads every point-level sort/scatter/gather 1.75x)
+N_CAP = 196608
 N_REAL = 150_000
 # Measured: the synthetic scenes hold ~40.3k occupied 4^3 bricks each.
 # 24576 (round 1) silently dropped 39% of every scene's bricks — cap must
