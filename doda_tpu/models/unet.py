@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import bricks2d
-from ..ops.bricks import (CELLS, BrickGrid, brick_feats, brickify,
+from ..ops.bricks import (CELLS, BrickGrid, brick_feats_2d, brickify,
                           build_brick_downsample, build_brick_rulebook,
                           subm_conv3)
 
@@ -321,7 +321,8 @@ class SparseConvNet(nn.Module):
         bt, cap0 = grid0.occ.shape[0], grid0.occ.shape[1]
         levels, downs = flatten_plan(plan)
 
-        x3 = jax.vmap(lambda f, g: brick_feats(f, g, 4))(point_feats, grid0)
+        x3 = jax.vmap(lambda f, g: brick_feats_2d(f, g, 4))(point_feats,
+                                                            grid0)
         x = x3.reshape(bt * cap0, CELLS * self.in_channel)
 
         w_in = self.param('input_kernel', _conv_init, (27, self.in_channel, m))

@@ -108,6 +108,31 @@ def brick_feats(feats: jax.Array, grid: BrickGrid, mode: int = 4) -> jax.Array:
     return out.reshape(grid.b_cap, CELLS, feats.shape[-1])
 
 
+def brick_feats_2d(feats: jax.Array, grid: BrickGrid,
+                   mode: int = 4) -> jax.Array:
+    """Like ``brick_feats`` but emits the wide-lane (B_cap, 64*C) layout.
+
+    The (N, C) -> (cells, C) segment sum runs channel-major — XLA
+    computes the C-minor form as (C, cells) internally and then pays a
+    relayout copy of the 42x tile-padded C=3 table (~25 ms at bench
+    scale); here the channel-major form is the graph-level layout and
+    one full-lane transpose lands it cell-major interleaved."""
+    n_seg = grid.b_cap * CELLS
+    flat = grid.flat_index()
+    c = feats.shape[-1]
+    tot_t = jax.vmap(lambda col: jax.ops.segment_sum(
+        col, flat, num_segments=n_seg + 1)[:n_seg], in_axes=1)(feats)
+    if mode == 4:
+        count = jax.ops.segment_sum(jnp.ones((feats.shape[0],), feats.dtype),
+                                    flat, num_segments=n_seg + 1)[:n_seg]
+        tot_t = tot_t / jnp.maximum(count, 1.0)[None, :]
+    elif mode != 3:
+        raise NotImplementedError(f'brick voxel mode {mode}')
+    # (C, B*64) -> (B, 64*C) cell-major interleave
+    out = tot_t.reshape(c, grid.b_cap, CELLS).transpose(1, 2, 0)
+    return out.reshape(grid.b_cap, CELLS * c)
+
+
 def unbrick_feats(bfeats: jax.Array, grid: BrickGrid) -> jax.Array:
     """Broadcast cell features back to points (voxel->point gather,
     ref model/unet.py:62). (B_cap, 64, C) -> (N_cap, C)."""

@@ -135,3 +135,21 @@ def test_subm_conv3_masks_inactive(rng):
                                        compute_dtype=F32))
     occ = np.asarray(grid.occ)
     assert np.abs(out[~occ]).max() == 0
+
+
+def test_brick_feats_2d_matches_3d():
+    """Wide-lane brick_feats_2d == brick_feats reshaped (mean + sum)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from doda_tpu.ops import bricks
+
+    rng = np.random.default_rng(11)
+    coords = rng.integers(0, 16, (2048, 3)).astype(np.int32)
+    valid = rng.random(2048) < 0.9
+    g = bricks.brickify(jnp.asarray(coords), jnp.asarray(valid), 128)
+    feats = jnp.asarray(rng.normal(size=(2048, 3)).astype(np.float32))
+    for mode in (3, 4):
+        want = np.asarray(bricks.brick_feats(feats, g, mode)).reshape(
+            128, -1)
+        got = np.asarray(bricks.brick_feats_2d(feats, g, mode))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
