@@ -34,10 +34,13 @@ TARGET_SCENES_PER_SEC = 75.0
 
 def kernel_check():
     """Compiled-engine-vs-oracle assertion on the real chip (catches
-    Mosaic/XLA drift the CPU interpret-mode tests cannot)."""
+    Mosaic/XLA drift the CPU interpret-mode tests cannot). Covers the
+    production wide-lane engine (bricks2d — what the bench and the model
+    actually run by default) plus the v2 3D path."""
     import jax
     import jax.numpy as jnp
-    from doda_tpu.ops import bricks
+    from doda_tpu.ops import bricks, bricks2d
+    from doda_tpu.models.unet import FlatDown
 
     rng = np.random.default_rng(7)
     coords = rng.integers(0, 40, (8192, 3)).astype(np.int32)
@@ -49,11 +52,39 @@ def kernel_check():
     w = jnp.asarray(rng.normal(size=(27, 16, 16)).astype(np.float32) * 0.1)
     want = np.asarray(bricks.subm_conv3(feats, grid.occ, nbr, w,
                                         compute_dtype=jnp.float32))
-    got = np.asarray(bricks.subm_conv3_v2(feats, grid.occ, nbr, w,
+    for name, fn in (
+            ('2d', lambda: bricks2d.subm_conv3_2d(
+                feats.reshape(1024, -1), grid.occ, nbr, w,
+                compute_dtype=jnp.float32)),
+            ('v2', lambda: bricks.subm_conv3_v2(
+                feats, grid.occ, nbr, w, compute_dtype=jnp.float32))):
+        got = np.asarray(fn()).reshape(want.shape)
+        err = np.abs(got - want).max()
+        assert err < 1e-3, f'{name} engine drift vs oracle on device: {err}'
+
+    # stride-2 down/up on the wide-lane path
+    ds = bricks.build_brick_downsample(grid.table, grid.occ, 512)
+    dm = FlatDown(child_parent=ds.child_parent, parity=ds.parity,
+                  parent_children=ds.parent_children)
+    wd = jnp.asarray(rng.normal(size=(8, 16, 32)).astype(np.float32) * 0.1)
+    want_d = np.asarray(bricks.down_conv2(feats, ds, wd,
                                           compute_dtype=jnp.float32))
-    err = np.abs(got - want).max()
-    assert err < 1e-3, f'v2 engine drift vs oracle on device: {err}'
-    print(f'kernel check ok (v2 vs oracle max err {err:.2e})',
+    got_d = np.asarray(bricks2d.down_conv2_2d(
+        feats.reshape(1024, -1), ds.parent_occ, dm, wd,
+        compute_dtype=jnp.float32)).reshape(want_d.shape)
+    err_d = np.abs(got_d - want_d).max()
+    assert err_d < 1e-3, f'down_conv2_2d drift vs oracle: {err_d}'
+    pf = rng.normal(size=(512, bricks.CELLS, 32)).astype(np.float32)
+    pf = jnp.asarray(pf * np.asarray(ds.parent_occ)[..., None])
+    wu = jnp.asarray(rng.normal(size=(8, 32, 16)).astype(np.float32) * 0.1)
+    want_u = np.asarray(bricks.up_conv2(pf, grid.occ, ds, wu,
+                                        compute_dtype=jnp.float32))
+    got_u = np.asarray(bricks2d.up_conv2_2d(
+        pf.reshape(512, -1), grid.occ, dm, wu,
+        compute_dtype=jnp.float32)).reshape(want_u.shape)
+    err_u = np.abs(got_u - want_u).max()
+    assert err_u < 1e-3, f'up_conv2_2d drift vs oracle: {err_u}'
+    print(f'kernel check ok (2d+v2 subm, 2d down/up vs oracle on device)',
           file=sys.stderr)
 
 
@@ -138,9 +169,18 @@ def train_bench(state, mf, cfg, b_caps, coords, feats, valid):
     }), file=sys.stderr)
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: the 7-level model compiles in
+    5-10 min over the tunnel; cached reruns skip that entirely."""
+    import jax
+    jax.config.update('jax_compilation_cache_dir', '/tmp/jax_ccache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 2)
+
+
 def main():
     import jax
     import jax.numpy as jnp
+    _enable_compile_cache()
     from doda_tpu.models import model_fn as mf
     from doda_tpu.models.unet import build_level_plan, default_brick_caps
     from doda_tpu.utils.optim import build_optimizer

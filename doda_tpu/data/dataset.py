@@ -123,6 +123,28 @@ class Dataset:
         from ..utils.pseudo_labels import load_scene_soft_labels
         return load_scene_soft_labels(self.pseudo_labels_dir, data_name)
 
+    def soft_data_name(self, index):
+        """File stem of scene ``index`` in the pseudo-label store —
+        implemented by every concrete dataset so SOFT_LABEL mode works
+        for any ST target, not just ScanNet."""
+        raise NotImplementedError
+
+    def soft_item(self, index, xyz, label, sel=None):
+        """Shared SOFT_LABEL ``__getitem__`` branch: skip augmentation
+        (soft rows must stay point-aligned with the raw scene), attach
+        the stored (N, C) distribution. ``sel`` re-applies the caller's
+        subsample indices so soft rows track a downsampled scene."""
+        soft = self.load_soft_labels(self.soft_data_name(index))
+        if sel is not None:
+            soft = soft[sel]
+        xyz_v, xyz_middle = self.plain_item(xyz)
+        return xyz_v, xyz_middle, label, index, {'soft': soft}
+
+    @property
+    def soft_mode(self):
+        return (self.training and self.use_soft_labels
+                and self.pseudo_labels_dir is not None)
+
     def load_pseudo_labels(self, data_name):
         """int labels, one file per scene. Prefers the npy store; falls
         back to the reference's txt format (dataset/dataset.py:85-88)."""
@@ -180,32 +202,48 @@ class Dataset:
     def __len__(self):
         return len(self.data_list)
 
-    def check_brick_capacity(self, batch, brick_cap, logger=None):
-        """One-shot overflow audit: count each scene's occupied bricks
-        (host numpy) against the level-0 cap. Bricks beyond capacity fall
-        into the null slot silently (engine convention), so CLIs call
-        this on their first batch to surface undersized ``brick_cap``
-        configs instead of quietly evaluating a truncated scene."""
+    def check_brick_capacity(self, batch, brick_cap, logger=None,
+                             num_levels=1):
+        """One-shot overflow audit across ALL U-Net levels: count each
+        scene's occupied bricks at every stride-2 level (host numpy)
+        against the model's capacity schedule
+        (``models.unet.default_brick_caps(brick_cap, num_levels)``).
+        Bricks beyond capacity fall into the null slot silently (engine
+        convention), so CLIs call this on their first batch to surface
+        undersized ``brick_cap`` configs instead of quietly evaluating a
+        truncated scene. Level 0 dominates on ScanNet-shaped data, but
+        denser datasets (e.g. S3DIS) can overflow deep levels first."""
         from ..ops.bricks import BRICK
+        from ..models.unet import default_brick_caps
+        caps = default_brick_caps(brick_cap, max(num_levels, 1))
         coords = np.asarray(batch.points.coords)
         valid = np.asarray(batch.points.valid)
-        worst = 0
+        worst = [0] * len(caps)
         for b in range(coords.shape[0]):
             c = coords[b][valid[b]]
             if len(c) == 0:
                 continue
-            worst = max(worst, len(np.unique(c // BRICK, axis=0)))
-        if worst > brick_cap and logger is not None:
-            logger.warning(
-                'brick capacity overflow: a scene occupies %d bricks but '
-                'DATA_PROCESSOR.brick_cap is %d — %.0f%% of bricks are '
-                'being DROPPED; raise brick_cap', worst, brick_cap,
-                100.0 * (worst - brick_cap) / worst)
-        elif logger is not None:
-            logger.info('brick capacity ok: worst scene %d / cap %d '
-                        '(%.2fx headroom)', worst, brick_cap,
-                        brick_cap / max(worst, 1))
-        return worst
+            bc = c // BRICK
+            for lvl in range(len(caps)):
+                worst[lvl] = max(worst[lvl],
+                                 len(np.unique(bc >> lvl, axis=0)))
+        over = [(lvl, w, caps[lvl]) for lvl, w in enumerate(worst)
+                if w > caps[lvl]]
+        if logger is not None:
+            if over:
+                for lvl, w, cap in over:
+                    logger.warning(
+                        'brick capacity overflow at level %d: a scene '
+                        'occupies %d bricks but the cap is %d — %.0f%% '
+                        'of bricks are being DROPPED; raise brick_cap '
+                        '(DATA_PROCESSOR.brick_cap=%d)', lvl, w, cap,
+                        100.0 * (w - cap) / w, brick_cap)
+            else:
+                util = ' '.join('L%d %d/%d' % (lvl, w, caps[lvl])
+                                for lvl, w in enumerate(worst))
+                logger.info('brick capacity ok (worst scene per level): '
+                            '%s', util)
+        return worst[0]
 
     def __getitem__(self, item):
         raise NotImplementedError

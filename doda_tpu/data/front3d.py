@@ -64,14 +64,20 @@ class Front3dDataset(Dataset):
                 os.path.basename(fn)[:-4])
         return xyz, label
 
+    def soft_data_name(self, index):
+        return os.path.basename(self.data_list[index])[:-4]
+
     def __getitem__(self, item):
         """(ref: dataset/front3d.py:59-86)"""
         index = item % len(self.data_list)
         xyz, label = self.load_data(index)
         xyz -= xyz.mean(0)
+        sel = None
         if self.downsampling_scale > 1:
-            idx = self.subsample_idx(xyz.shape[0], self.downsampling_scale)
-            xyz, label = xyz[idx], label[idx]
+            sel = self.subsample_idx(xyz.shape[0], self.downsampling_scale)
+            xyz, label = xyz[sel], label[sel]
+        if self.soft_mode:
+            return self.soft_item(index, xyz, label, sel)
         if self.training and self.aug.get('enabled', False):
             out = self.run_augmentor(xyz, label)
             if out is None:

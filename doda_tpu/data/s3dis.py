@@ -52,17 +52,23 @@ class S3DISDataset(Dataset):
             label_all = self.load_pseudo_labels(fn)
         return xyz_all, label_all
 
+    def soft_data_name(self, index):
+        return self.data_list[index]
+
     def __getitem__(self, item):
         """(ref: dataset/s3dis.py:54-81)"""
         index = item % len(self.data_list)
         xyz_all, label_all = self.load_data(index)
         xyz_all = xyz_all - xyz_all.mean(0)
+        sel = None
         if self.downsampling_scale > 1:
-            idx = self.subsample_idx(xyz_all.shape[0],
+            sel = self.subsample_idx(xyz_all.shape[0],
                                      self.downsampling_scale)
-            xyz, label = xyz_all[idx], label_all[idx]
+            xyz, label = xyz_all[sel], label_all[sel]
         else:
             xyz, label = xyz_all.copy(), label_all.copy()
+        if self.soft_mode:
+            return self.soft_item(index, xyz, label, sel)
         if self.training and self.aug.get('enabled', False):
             out = self.run_augmentor(xyz, label)
             if out is None:

@@ -61,18 +61,17 @@ class ScanNetDataset(Dataset):
                 os.path.basename(fn)[:-len(self.data_suffix)])
         return xyz, label
 
+    def soft_data_name(self, index):
+        fn = self.data_list[index]
+        return os.path.basename(fn)[:-len(self.data_suffix)]
+
     def __getitem__(self, item):
         """(ref: dataset/scannet.py:60-83)"""
         index = item % len(self.data_list)
         xyz, label = self.load_data(index)
-        if (self.training and self.use_soft_labels
-                and self.pseudo_labels_dir is not None):
+        if self.soft_mode:
             # SOFT_LABEL mode: plain path keeps soft rows point-aligned
-            fn = self.data_list[index]
-            soft = self.load_soft_labels(
-                os.path.basename(fn)[:-len(self.data_suffix)])
-            xyz_v, xyz_middle = self.plain_item(xyz)
-            return xyz_v, xyz_middle, label, index, {'soft': soft}
+            return self.soft_item(index, xyz, label)
         if self.training and self.aug.get('enabled', False):
             out = self.run_augmentor(xyz, label)
             if out is None:  # retry with a random index (ref :72-73)

@@ -106,8 +106,18 @@ def load_scene_soft_labels(pseudo_labels_dir, name):
     return np.load(Path(pseudo_labels_dir) / 'soft' / f'{name}.npy')
 
 
-def generation_done(pseudo_labels_dir):
-    return os.path.exists(Path(pseudo_labels_dir) / 'done.txt')
+def generation_done(pseudo_labels_dir, need_soft=False):
+    """done.txt sentinel (ref: util/pseudo_labels_util.py:162).
+
+    With ``need_soft`` the store only counts as complete if the soft/
+    distributions exist too — a resumed SOFT_LABEL run over a store
+    written before soft mode was enabled must regenerate, or loader
+    workers die on FileNotFoundError mid-epoch."""
+    done = os.path.exists(Path(pseudo_labels_dir) / 'done.txt')
+    if done and need_soft:
+        soft_dir = Path(pseudo_labels_dir) / 'soft'
+        return soft_dir.is_dir() and any(soft_dir.iterdir())
+    return done
 
 
 def mark_done(pseudo_labels_dir):

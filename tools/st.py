@@ -79,8 +79,13 @@ def set_pseudo_labels(args, cfg, logger, tar_data, tar_loader, state,
     histograms; pass 2: write thresholded labels per scene. Both passes
     run full-resolution, no-aug (ref :49-55)."""
     n_classes = cfg.COMMON_CLASSES.n_classes
+    soft_enabled = bool(cfg.get('SOFT_LABEL', None)
+                        and cfg.SOFT_LABEL.get('enabled', False))
     generated = False
-    if not pl_utils.generation_done(pseudo_labels_dir):
+    # need_soft: a store from a pre-SOFT_LABEL run (done.txt but no
+    # soft/ dir) must regenerate, or __getitem__ raises mid-epoch
+    if not pl_utils.generation_done(pseudo_labels_dir,
+                                    need_soft=soft_enabled):
         os.makedirs(pseudo_labels_dir, exist_ok=True)
         tar_data.set_training_mode(False)
         ds = tar_data.get_downsampling_scale()
@@ -112,9 +117,6 @@ def set_pseudo_labels(args, cfg, logger, tar_data, tar_loader, state,
         class_ratio = np.zeros(n_classes, np.float64)
         data_list = tar_data.get_data_list()
         thres_arr = np.asarray(thres, np.float32)
-
-        soft_enabled = bool(cfg.get('SOFT_LABEL', None)
-                            and cfg.SOFT_LABEL.get('enabled', False))
 
         def write(batch, out):
             preds = np.asarray(out['preds'])
@@ -181,7 +183,8 @@ def train_epoch(args, cfg, logger, writer, source_reader, tar_loader,
         if epoch == 0 and i == 0:
             tar_loader.dataset.check_brick_capacity(
                 batch, cfg.DATA_CONFIG_TAR.DATA_PROCESSOR.get(
-                    'brick_cap', 32768), logger)
+                    'brick_cap', 32768), logger,
+                num_levels=cfg.MODEL.BACKBONE.get('num_levels', 7))
         meters['data'].update(time.time() - end)
         source_batch = source_reader.read_data()
         lr = float(lr_fn(epoch, i))

@@ -93,7 +93,8 @@ def test_one_epoch(args, cfg, logger, loader, state, eval_step, result_dir,
         if i == 0:
             loader.dataset.check_brick_capacity(
                 batch, cfg.DATA_CONFIG_TAR.DATA_PROCESSOR.get(
-                    'brick_cap', 32768), logger)
+                    'brick_cap', 32768), logger,
+                num_levels=cfg.MODEL.BACKBONE.get('num_levels', 7))
         # exact-count duplicate trimming: sampler-padded scenes at the tail
         # of the last batch are masked out of metrics and skipped in dumps
         # (ref tool/test.py:138-141). In region-eval mode a scene spans

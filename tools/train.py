@@ -112,7 +112,8 @@ def train_epoch(args, cfg, logger, writer, train_loader, state, train_step,
         if epoch == args.start_epoch and i == 0:
             train_loader.dataset.check_brick_capacity(
                 batch, cfg.DATA_CONFIG.DATA_PROCESSOR.get(
-                    'brick_cap', 32768), logger)
+                    'brick_cap', 32768), logger,
+                num_levels=cfg.MODEL.BACKBONE.get('num_levels', 7))
         if profile_dir and epoch == args.start_epoch and i == 0:
             jax.profiler.start_trace(str(profile_dir))
         state, metrics = train_step(state, to_device(batch.points, mesh),
