@@ -142,6 +142,49 @@ OUTP = BRICK * BRICK        # 16
 
 
 @functools.lru_cache(maxsize=None)
+def _xplane_blocks(dx: int):
+    """Static plan for the halo plane at x == dx (±1): 18 blocks in
+    (y', z') raster order. Each block is ('x2', lane0, ln) — a run of
+    the x-neighbor brick's boundary slice — or ('piece', (dy, dz),
+    sub, ln) — the facing-x sub-run of a diagonal neighbor's tab piece.
+
+    Why not gather the neighbor's assembled P row (the round-2 design):
+    when the face x-neighbor brick is ABSENT but a diagonal (dx, dy, dz)
+    brick is present, the plane still has active cells from the
+    diagonals; a null P-row gather silently zeroed them (cell-level
+    wrong vs spconv/the oracle on sparse scenes). Assembling from all 9
+    (dx, *, *) sources is exact."""
+    xs = BRICK - 1 if dx == -1 else 0
+    plan, _ = _yz_piece_plan()
+
+    def sub(d, y=None):
+        # position of the x == xs run inside piece d (cells are x-major)
+        _, cells = plan[d]
+        if len(cells) == BRICK:          # corner piece: 1 cell per x
+            return ('piece', d, xs, 1)
+        # edge piece: 4 cells per x (x-major, then the free axis)
+        if y is None:                    # whole 4-cell run
+            return ('piece', d, xs * BRICK, BRICK)
+        return ('piece', d, xs * BRICK + y, 1)
+
+    blocks = []
+    # y' = 0: sources at (dx, -1, dz)
+    blocks.append(sub((-1, -1)))
+    blocks.append(sub((-1, 0)))
+    blocks.append(sub((-1, 1)))
+    # y' = 1..4: (dx, 0, -1) corner col | x-neighbor center run | (dx, 0, 1)
+    for y in range(BRICK):
+        blocks.append(sub((0, -1), y))
+        blocks.append(('x2', xs * 16 + y * BRICK, BRICK))
+        blocks.append(sub((0, 1), y))
+    # y' = 5: sources at (dx, 1, dz)
+    blocks.append(sub((1, -1)))
+    blocks.append(sub((1, 0)))
+    blocks.append(sub((1, 1)))
+    return tuple(blocks)
+
+
+@functools.lru_cache(maxsize=None)
 def _band_np(cin: int, cout: int):
     """One-hot map (3, 36, 16, 27) for building banded weights."""
     m = np.zeros((3, PLANE, OUTP, 27), np.float32)
@@ -200,9 +243,41 @@ def _assemble_p6(x2: jax.Array, nbr: jax.Array,
             parts.append(src[:, lane0 * cin:(lane0 + ln) * cin])
         rows.append(jnp.concatenate(parts, axis=1))
 
-    # x-/x+ neighbor planes are those neighbors' own boundary rows
-    row_m = null_gather(rows[BRICK - 1], nbr[:, dir3_index(-1, 0, 0)])
-    row_p = null_gather(rows[0], nbr[:, dir3_index(1, 0, 0)])
+    # x-/x+ halo planes: exact 9-source assembly per plane (the face
+    # x-neighbor's boundary slice + the 8 (dx, dy, dz) diagonals' piece
+    # sub-runs). See _xplane_blocks for why a P-row gather is wrong.
+    plane_sq, _ = _yz_piece_plan()
+
+    def xplane(dx):
+        gx2 = null_gather(x[:, (BRICK - 1 if dx == -1 else 0) * 16 * cin:
+                            ((BRICK - 1 if dx == -1 else 0) * 16 + 16)
+                            * cin],
+                          nbr[:, dir3_index(dx, 0, 0)])
+        gsub = {}
+        for d in _OFFS2:
+            st, cells = plane_sq[d]
+            n_sub = BRICK if len(cells) > BRICK else 1
+            xs = BRICK - 1 if dx == -1 else 0
+            lo = st + xs * n_sub
+            gsub[d] = null_gather(tab[:, lo * cin:(lo + n_sub) * cin],
+                                  nbr[:, dir3_index(dx, *d)])
+        parts = []
+        for blk in _xplane_blocks(dx):
+            if blk[0] == 'x2':
+                _, lane0, ln = blk
+                lane0 -= (BRICK - 1 if dx == -1 else 0) * 16
+                parts.append(gx2[:, lane0 * cin:(lane0 + ln) * cin])
+            else:
+                _, d, pos, ln = blk
+                st, cells = plane_sq[d]
+                n_sub = BRICK if len(cells) > BRICK else 1
+                xs = BRICK - 1 if dx == -1 else 0
+                local = pos - xs * n_sub if n_sub == BRICK else 0
+                parts.append(gsub[d][:, local * cin:(local + ln) * cin])
+        return jnp.concatenate(parts, axis=1)
+
+    row_m = xplane(-1)
+    row_p = xplane(1)
     # one 3D concat writes the conv input directly — no 2D->3D relayout
     p6 = jnp.concatenate(
         [r[:, None, :] for r in [row_m, *rows, row_p]], axis=1)

@@ -27,6 +27,64 @@ def make_feats(rng, b_cap, cin, occ):
     return jnp.asarray(f * np.asarray(occ)[..., None])
 
 
+@pytest.fixture(scope='module')
+def sparse_grid():
+    """Sparse scene: isolated voxels + a missing-face-neighbor cluster.
+
+    Dense fixtures never exercise the case where a brick's face
+    x-neighbor is absent but a diagonal (dx, dy, dz) brick touches the
+    halo plane — the round-2 engine dropped those taps."""
+    rng = np.random.default_rng(11)
+    coords = rng.integers(0, 96, (1500, 3)).astype(np.int32)
+    # crafted corner contact: bricks (1,1,1) and (0,0,1), no (0,1,1)
+    crafted = np.array([[4, 4, 4], [3, 3, 4], [3, 3, 7], [4, 7, 4]],
+                       np.int32)
+    coords = np.concatenate([coords, crafted])
+    valid = np.ones(len(coords), bool)
+    g = bricks.brickify(jnp.asarray(coords), jnp.asarray(valid), 2048)
+    nbr = bricks.build_brick_rulebook(g.table)
+    return g, nbr, rng
+
+
+def test_subm_conv_2d_sparse_diagonals(sparse_grid):
+    """x±-halo planes must include diagonal-brick taps even when the
+    face x-neighbor brick is absent (9-source plane assembly)."""
+    g, nbr, rng = sparse_grid
+    for cin, cout in ((16, 16), (4, 8)):
+        feats = make_feats(rng, g.b_cap, cin, g.occ)
+        w = jnp.asarray(
+            rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1)
+        want = np.asarray(bricks.subm_conv3(
+            feats, g.occ, nbr, w, compute_dtype=jnp.float32))
+        got = np.asarray(bricks2d.subm_conv3_2d(
+            feats.reshape(g.b_cap, -1), g.occ, nbr, w,
+            compute_dtype=jnp.float32))
+        np.testing.assert_allclose(
+            got.reshape(want.shape), want, rtol=1e-5, atol=1e-5)
+
+
+def test_subm_conv_2d_sparse_grads(sparse_grid):
+    """Custom-VJP gradients stay oracle-exact on sparse grids."""
+    g, nbr, rng = sparse_grid
+    cin = cout = 8
+    feats = make_feats(rng, g.b_cap, cin, g.occ)
+    w = jnp.asarray(
+        rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1)
+
+    gx2, gw2 = jax.grad(
+        lambda x, w: (bricks2d.subm_conv3_2d(
+            x, g.occ, nbr, w, compute_dtype=jnp.float32) ** 2).sum(),
+        argnums=(0, 1))(feats.reshape(g.b_cap, -1), w)
+    gx3, gw3 = jax.grad(
+        lambda x, w: (bricks.subm_conv3(
+            x, g.occ, nbr, w, compute_dtype=jnp.float32) ** 2).sum(),
+        argnums=(0, 1))(feats, w)
+    np.testing.assert_allclose(np.asarray(gx2).reshape(gx3.shape),
+                               np.asarray(gx3), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw2), np.asarray(gw3),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_subm_conv_2d_matches_oracle(grid):
     g, nbr, rng = grid
     for cin, cout in ((16, 16), (3, 16), (32, 16)):
