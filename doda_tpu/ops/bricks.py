@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .coords import CoordTable, pad_rows, unique_coords
+from .coords import CoordTable, pad_rows, unique_coords_packed
 from .sparse import build_subm_rulebook
 
 BRICK = 4
@@ -80,7 +80,7 @@ def brickify(coords: jax.Array, valid: jax.Array, b_cap: int) -> BrickGrid:
     boolean scatter.
     """
     bcoords = coords // BRICK
-    table = unique_coords(bcoords, valid, b_cap)
+    table = unique_coords_packed(bcoords, valid, b_cap)
     cell = _cell_index(coords % BRICK)
     cell = jnp.where(valid, cell, 0).astype(jnp.int32)
     occ = jnp.zeros((b_cap + 1, CELLS), bool)
@@ -112,11 +112,13 @@ def brick_feats_2d(feats: jax.Array, grid: BrickGrid,
                    mode: int = 4) -> jax.Array:
     """Like ``brick_feats`` but emits the wide-lane (B_cap, 64*C) layout.
 
-    The (N, C) -> (cells, C) segment sum runs channel-major — XLA
-    computes the C-minor form as (C, cells) internally and then pays a
-    relayout copy of the 42x tile-padded C=3 table (~25 ms at bench
-    scale); here the channel-major form is the graph-level layout and
-    one full-lane transpose lands it cell-major interleaved."""
+    ``DODA_FEATS=scatter`` selects the channel-major segment-sum
+    (786k-row f32 scatter-add at the ~90 ns/row floor — 65 ms traced at
+    bench scale); the default sort-based path reduces duplicates with a
+    cumsum and never issues an f32 scatter."""
+    import os
+    if os.environ.get('DODA_FEATS', '') != 'scatter':
+        return _brick_feats_sorted(feats, grid, mode)
     n_seg = grid.b_cap * CELLS
     flat = grid.flat_index()
     c = feats.shape[-1]
@@ -131,6 +133,90 @@ def brick_feats_2d(feats: jax.Array, grid: BrickGrid,
     # (C, B*64) -> (B, 64*C) cell-major interleave
     out = tot_t.reshape(c, grid.b_cap, CELLS).transpose(1, 2, 0)
     return out.reshape(grid.b_cap, CELLS * c)
+
+
+def _brick_feats_sorted(feats: jax.Array, grid: BrickGrid,
+                        mode: int = 4) -> jax.Array:
+    """Point->cell reduction without any f32 scatter.
+
+    The f32 scatter-add floor is ~90 ns/row regardless of width, so
+    scattering every point (or even every voxel) dominates. Instead:
+
+    1. sort points by flat cell id (one int32 key),
+    2. expand each sorted point into a 16*(C+1)-lane x-slice row (its
+       C features + a count 1.0 at its cell's lane block) and cumsum —
+       a vector scan, no scatter,
+    3. per slice-run, row value = cum[end] - cum[start-1]: run starts
+       and ends come from vector compares + one small INT scatter
+       (~8.6 ns/row) of run positions,
+    4. the dense (B*4, 16*(C+1)) table is a row GATHER of the compact
+       run values through a slice->run int map.
+
+    Cell lanes of untouched cells/slices come out exactly zero, so the
+    engine invariant holds.
+    """
+    n, c = feats.shape
+    b4 = grid.b_cap * BRICK
+    lanes = c + 1
+    slice_cells = BRICK * BRICK             # 16
+    sent = jnp.iinfo(jnp.int32).max
+
+    flat = grid.flat_index()                 # (N,) null == b_cap*64
+    key = jnp.where(flat >= grid.b_cap * CELLS, sent, flat)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    ks, order = jax.lax.sort((key, pos), num_keys=1)
+    fs = feats[order].astype(jnp.float32)    # (N, C)
+    valid_s = ks != sent
+
+    # lane-expanded slice rows: point at cell_lo owns lanes
+    # [cell_lo*lanes, (cell_lo+1)*lanes)
+    cell_lo = jnp.where(valid_s, ks % slice_cells, 0)
+    fs_ext = jnp.concatenate(
+        [fs, jnp.ones((n, 1), jnp.float32)], axis=1)   # (N, C+1)
+    tiled = jnp.tile(fs_ext, (1, slice_cells))         # (N, 16*(C+1))
+    lane_cell = jnp.arange(slice_cells * lanes, dtype=jnp.int32) // lanes
+    mask = (lane_cell[None, :] == cell_lo[:, None]) & valid_s[:, None]
+    cum = jnp.cumsum(jnp.where(mask, tiled, 0.0), axis=0)
+
+    srow_s = jnp.where(valid_s, ks // slice_cells, b4)  # slice id, sorted
+    first = jnp.zeros((n,), bool).at[0].set(True)
+    new = (first | (srow_s != jnp.roll(srow_s, 1))) & valid_s
+    run = jnp.cumsum(new.astype(jnp.int32)) - 1         # run rank
+    # start position of each run (int scatter, null runs -> dump row n)
+    r_cap = n                                            # runs <= points
+    start_pos = jnp.full((r_cap + 1,), 0, jnp.int32)
+    start_pos = start_pos.at[jnp.where(new, run, r_cap)].set(pos)
+    start_pos = start_pos[:r_cap]
+    run_slice = jnp.full((r_cap + 1,), b4, jnp.int32)
+    run_slice = run_slice.at[jnp.where(new, run, r_cap)].set(srow_s)
+    run_slice = run_slice[:r_cap]
+    n_runs = jnp.where(valid_s.any(), run[-1] + 1, 0)
+    # end position: one before the next run's start (last run -> n-1)
+    end_pos = jnp.concatenate(
+        [start_pos[1:] - 1, jnp.array([n - 1], jnp.int32)])
+    end_pos = jnp.where(jnp.arange(r_cap) == n_runs - 1, n - 1, end_pos)
+
+    cum_prev = jnp.concatenate(
+        [jnp.zeros((1, cum.shape[1]), jnp.float32), cum[:-1]], axis=0)
+    vals = cum[end_pos] - cum_prev[start_pos]            # (r_cap, 16L)
+    vals = jnp.where((jnp.arange(r_cap) < n_runs)[:, None], vals, 0.0)
+
+    # dense slice rows by gather through a slice -> run int map
+    s2run = jnp.full((b4 + 1,), r_cap, jnp.int32)
+    s2run = s2run.at[run_slice].set(jnp.arange(r_cap, dtype=jnp.int32))
+    s2run = s2run[:b4]
+    vals_p = jnp.concatenate(
+        [vals, jnp.zeros((1, cum.shape[1]), jnp.float32)], axis=0)
+    dense = vals_p[s2run]                                # (B4, 16*(C+1))
+
+    d3 = dense.reshape(b4, slice_cells, lanes)
+    total = d3[:, :, :c]
+    if mode == 4:
+        count = jnp.maximum(d3[:, :, c], 1.0)
+        total = total / count[:, :, None]
+    elif mode != 3:
+        raise NotImplementedError(f'brick voxel mode {mode}')
+    return total.reshape(grid.b_cap, CELLS * c).astype(feats.dtype)
 
 
 def unbrick_feats(bfeats: jax.Array, grid: BrickGrid) -> jax.Array:
@@ -148,7 +234,7 @@ def unbrick_feats(bfeats: jax.Array, grid: BrickGrid) -> jax.Array:
 def build_brick_rulebook(table: CoordTable) -> jax.Array:
     """(B_cap, 27) neighbor-brick ids (shared per level, like spconv's
     ``indice_key='subm{i}'``; ref model/unet_block.py:62)."""
-    return build_subm_rulebook(table, 3)
+    return build_subm_rulebook(table, 3, packed=True)
 
 
 def _axis_range(d: int):
@@ -453,7 +539,7 @@ class BrickDown(NamedTuple):
 def build_brick_downsample(table: CoordTable, occ: jax.Array,
                            p_cap: int) -> BrickDown:
     valid = table.valid
-    parent = unique_coords(table.coords // 2, valid, p_cap)
+    parent = unique_coords_packed(table.coords // 2, valid, p_cap)
     child_parent = parent.p2v
     parity = ((table.coords[:, 0] & 1) * 4 + (table.coords[:, 1] & 1) * 2
               + (table.coords[:, 2] & 1))

@@ -176,3 +176,97 @@ def pad_rows(values: jax.Array) -> jax.Array:
     """Append one zero row so null-slot gathers (id == cap) return zeros."""
     pad_width = [(0, 1)] + [(0, 0)] * (values.ndim - 1)
     return jnp.pad(values, pad_width)
+
+
+# ---------------------------------------------------------------------------
+# packed single-key variants for BRICK-level tables
+#
+# Brick coords are bounded by the crop pipeline: the reference's
+# full_scale caps voxel extents at 512/axis (cfgs/dataset_cfgs/*, ref
+# dataset/augmentor/augmentor_utils.py:449-472), i.e. <= 128 bricks —
+# far under the 1024/axis this packing supports (4096 voxels/axis).
+# One int32 sort key instead of two cuts the dominant plan-build sort
+# cost by ~1/3. Coords outside [0, 1024) are treated as invalid and
+# dropped (same convention as capacity overflow).
+# ---------------------------------------------------------------------------
+
+PACK_BITS = 10
+_PACK_LIM = 1 << PACK_BITS
+
+
+def pack_coords1(coords: jax.Array, valid: jax.Array) -> jax.Array:
+    """(N, 3) int coords -> one int32 sort key; invalid -> sentinel."""
+    x = coords[..., 0].astype(jnp.int32)
+    y = coords[..., 1].astype(jnp.int32)
+    z = coords[..., 2].astype(jnp.int32)
+    in_range = ((x >= 0) & (x < _PACK_LIM) & (y >= 0) & (y < _PACK_LIM)
+                & (z >= 0) & (z < _PACK_LIM))
+    k = (x << (2 * PACK_BITS)) | (y << PACK_BITS) | z
+    return jnp.where(valid & in_range, k, _SENTINEL)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def unique_coords_packed(coords: jax.Array, valid: jax.Array,
+                         cap: int) -> CoordTable:
+    """``unique_coords`` with a single packed key (brick tables only).
+
+    The returned table's ``k1`` holds the packed key and ``k2`` zeros;
+    pair it with ``lookup_packed``.
+    """
+    n_pts = coords.shape[0]
+    k = pack_coords1(coords, valid)
+    pos = jnp.arange(n_pts, dtype=jnp.int32)
+    ks, order = jax.lax.sort((k, pos), num_keys=1, is_stable=True)
+    valid_s = ks != _SENTINEL
+
+    first = jnp.zeros((n_pts,), dtype=bool).at[0].set(True)
+    new = (first | (ks != jnp.roll(ks, 1))) & valid_s
+    vid_s = jnp.cumsum(new.astype(jnp.int32)) - 1
+    n = jnp.minimum(vid_s[-1] + 1, cap).astype(jnp.int32)
+    vid_s = jnp.where(valid_s & (vid_s < cap), vid_s, cap)
+
+    coords_s = jnp.stack([ks >> (2 * PACK_BITS),
+                          (ks >> PACK_BITS) & (_PACK_LIM - 1),
+                          ks & (_PACK_LIM - 1)], axis=-1)
+    slot = jnp.where(new & (vid_s < cap), vid_s, cap)
+    table = jnp.full((cap + 1, 3), MAX_COORD, dtype=jnp.int32)
+    table = table.at[slot].set(coords_s)
+    table = table.at[cap].set(MAX_COORD)
+    table = table[:cap]
+
+    _, p2v = jax.lax.sort((order, vid_s.astype(jnp.int32)), num_keys=1)
+
+    tk = pack_coords1(table, jnp.arange(cap) < n)
+    return CoordTable(coords=table, k1=tk, k2=jnp.zeros_like(tk), n=n,
+                      p2v=p2v)
+
+
+def lookup_packed(table: CoordTable, query_coords: jax.Array,
+                  query_valid: jax.Array | None = None) -> jax.Array:
+    """``lookup`` against a packed table (one sort key, one verify
+    gather of 4-byte rows)."""
+    cap = table.cap
+    if query_valid is None:
+        query_valid = jnp.ones(query_coords.shape[:-1], dtype=bool)
+    qk = pack_coords1(query_coords, query_valid)
+    q_shape = qk.shape
+    qk = qk.reshape(-1)
+    n_q = qk.shape[0]
+
+    all_k = jnp.concatenate([table.k1, qk])
+    pos = jnp.arange(cap + n_q, dtype=jnp.int32)
+    sk, spos = jax.lax.sort((all_k, pos), num_keys=1, is_stable=True)
+    is_tab = spos < cap
+    src = jnp.where(is_tab, spos, -1)
+    cand = jax.lax.cummax(src)
+    # the candidate's KEY via a second cummax instead of a verify gather:
+    # keys ascend in the sorted stream, so the running max of table-row
+    # keys IS the nearest preceding table key (the 2.75M-row scalar
+    # gather this replaces ran at ~10.7 ns/row — ~30 ms per L0 plan)
+    imin = jnp.iinfo(jnp.int32).min
+    cand_key = jax.lax.cummax(jnp.where(is_tab, sk, imin))
+    hit = (cand >= 0) & (cand_key == sk) & (sk != _SENTINEL)
+    safe = jnp.maximum(cand, 0)
+    res_sorted = jnp.where(hit, safe, cap).astype(jnp.int32)
+    _, res = jax.lax.sort((spos, res_sorted), num_keys=1)
+    return res[cap:].reshape(q_shape)

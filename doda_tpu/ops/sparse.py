@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .coords import CoordTable, lookup, pad_rows, unique_coords
+from .coords import (CoordTable, lookup, lookup_packed, pad_rows,
+                     unique_coords)
 
 
 def kernel_offsets(kernel_size: int = 3) -> np.ndarray:
@@ -47,14 +48,17 @@ def kernel_offsets(kernel_size: int = 3) -> np.ndarray:
     return grid.reshape(-1, 3).astype(np.int32)
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def build_subm_rulebook(table: CoordTable, kernel_size: int = 3) -> jax.Array:
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def build_subm_rulebook(table: CoordTable, kernel_size: int = 3,
+                        packed: bool = False) -> jax.Array:
     """Neighbor ids (V_cap, k^3) for a submanifold conv on ``table``.
 
     Missing neighbors and invalid voxels map to the null slot (== cap).
     Computed once per level and shared by every SubMConv at that level,
     which is what spconv's ``indice_key='subm{i}'`` reuse amounts to
-    (ref: model/unet_block.py:26-29,62).
+    (ref: model/unet_block.py:26-29,62). ``packed`` selects the
+    single-key sort-join for tables built by ``unique_coords_packed``
+    (brick tables; ~1/3 faster).
     """
     offs = jnp.asarray(kernel_offsets(kernel_size))  # (K, 3)
     k = offs.shape[0]
@@ -68,7 +72,8 @@ def build_subm_rulebook(table: CoordTable, kernel_size: int = 3) -> jax.Array:
     # the sort-join (the rulebook sort-joins dominate plan-build time)
     queries = table.coords[:, None, :] + offs[None, :half, :]
     qvalid = jnp.broadcast_to(valid[:, None], queries.shape[:2])
-    nbr_half = lookup(table, queries, qvalid)  # (V, half)
+    lk = lookup_packed if packed else lookup
+    nbr_half = lk(table, queries, qvalid)  # (V, half)
     self_idx = jnp.where(valid, jnp.arange(cap, dtype=jnp.int32), cap)
 
     mirror = jnp.full((cap + 1, half), cap, jnp.int32)

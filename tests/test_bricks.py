@@ -41,7 +41,7 @@ def brick_setup(coords, feats, b_cap=64):
 def cellwise(grid, bf, coords):
     """Extract brick-engine values at given voxel coords."""
     b_cap = grid.b_cap
-    from doda_tpu.ops.coords import lookup
+    from doda_tpu.ops.coords import lookup_packed as lookup
     bid = np.asarray(lookup(grid.table, jnp.asarray(coords // bricks.BRICK)))
     cell = np.asarray(bricks._cell_index(jnp.asarray(coords % bricks.BRICK)))
     out = np.asarray(bf)
@@ -90,7 +90,7 @@ def test_down_conv2_matches_gather_engine(rng):
     bds = bricks.build_brick_downsample(grid.table, grid.occ, 32)
     out = bricks.down_conv2(bf, bds, jnp.asarray(w), compute_dtype=F32)
 
-    from doda_tpu.ops.coords import lookup
+    from doda_tpu.ops.coords import lookup_packed as lookup
     bid = np.asarray(lookup(bds.parent, jnp.asarray(ref_coords // bricks.BRICK)))
     cell = np.asarray(bricks._cell_index(jnp.asarray(ref_coords % bricks.BRICK)))
     got = np.asarray(out)[bid, cell]
@@ -115,7 +115,7 @@ def test_up_conv2_matches_gather_engine(rng):
     bds = bricks.build_brick_downsample(grid.table, grid.occ, 32)
     # place parent voxel features into parent bricks
     p_coords = np.asarray(ds.parent.coords[:pn])
-    from doda_tpu.ops.coords import lookup
+    from doda_tpu.ops.coords import lookup_packed as lookup
     pbid = np.asarray(lookup(bds.parent, jnp.asarray(p_coords // bricks.BRICK)))
     pcell = np.asarray(bricks._cell_index(jnp.asarray(p_coords % bricks.BRICK)))
     pbf = np.zeros((32, bricks.CELLS, 5), np.float32)
@@ -151,5 +151,23 @@ def test_brick_feats_2d_matches_3d():
     for mode in (3, 4):
         want = np.asarray(bricks.brick_feats(feats, g, mode)).reshape(
             128, -1)
+        got = np.asarray(bricks.brick_feats_2d(feats, g, mode))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_brick_feats_sorted_matches_scatter(monkeypatch):
+    """The sort+cumsum feats path (default) equals the segment-sum
+    scatter path for sum and mean modes, including invalid points and
+    empty scenes."""
+    import os
+    rng = np.random.default_rng(17)
+    coords = rng.integers(0, 40, (5000, 3)).astype(np.int32)
+    valid = rng.random(5000) < 0.9
+    g = bricks.brickify(jnp.asarray(coords), jnp.asarray(valid), 1024)
+    feats = jnp.asarray(rng.normal(size=(5000, 3)).astype(np.float32))
+    for mode in (3, 4):
+        monkeypatch.setenv('DODA_FEATS', 'scatter')
+        want = np.asarray(bricks.brick_feats_2d(feats, g, mode))
+        monkeypatch.delenv('DODA_FEATS')
         got = np.asarray(bricks.brick_feats_2d(feats, g, mode))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

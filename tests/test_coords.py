@@ -84,3 +84,31 @@ def test_pad_rows():
     p = pad_rows(x)
     assert p.shape == (4, 2)
     assert (np.asarray(p[3]) == 0).all()
+
+
+def test_unique_coords_packed_matches_two_key():
+    from doda_tpu.ops.coords import (lookup, lookup_packed, unique_coords,
+                                     unique_coords_packed)
+    rng = np.random.default_rng(9)
+    coords = rng.integers(0, 500, (3000, 3)).astype(np.int32)
+    valid = rng.random(3000) < 0.9
+    a = unique_coords(jnp.asarray(coords), jnp.asarray(valid), 4096)
+    b = unique_coords_packed(jnp.asarray(coords), jnp.asarray(valid), 4096)
+    np.testing.assert_array_equal(np.asarray(a.coords), np.asarray(b.coords))
+    np.testing.assert_array_equal(np.asarray(a.p2v), np.asarray(b.p2v))
+    assert int(a.n) == int(b.n)
+    q = rng.integers(-2, 502, (500, 3)).astype(np.int32)
+    np.testing.assert_array_equal(
+        np.asarray(lookup(a, jnp.asarray(q))),
+        np.asarray(lookup_packed(b, jnp.asarray(q))))
+
+
+def test_unique_coords_packed_drops_out_of_range():
+    from doda_tpu.ops.coords import unique_coords_packed
+    coords = np.array([[5, 5, 5], [1024, 0, 0], [0, 2000, 3], [7, 7, 7]],
+                      np.int32)
+    t = unique_coords_packed(jnp.asarray(coords),
+                             jnp.ones(4, bool), 16)
+    assert int(t.n) == 2          # the two in-range coords
+    p2v = np.asarray(t.p2v)
+    assert (p2v[[1, 2]] == 16).all()   # out-of-range -> null slot
