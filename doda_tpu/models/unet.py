@@ -32,12 +32,18 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops import bricks2d
+from ..ops import bricks2d, slabs
 from ..ops.bricks import (CELLS, BrickGrid, brick_feats_2d, brickify,
                           build_brick_downsample, build_brick_rulebook,
                           subm_conv3)
 
 Dtype = Any
+
+# Levels whose SubM convs run on the slice-compacted slab engine.
+# Measured occupied-slice fractions on ScanNet-shaped scenes: L0 43%,
+# L1 57%, L2+ ~95% — compaction pays at the two shallow (dominant-cost)
+# levels only.
+SLAB_LEVELS = 2
 
 
 class LevelPlan(NamedTuple):
@@ -47,12 +53,15 @@ class LevelPlan(NamedTuple):
     occs   : tuple of (Batch, B_cap_l, 64) bool
     nbrs   : tuple of (Batch, B_cap_l, 27) int32
     downs  : tuple of BrickDown between level l and l+1 (len = levels - 1)
+    slabs  : tuple of slabs.SlabMaps for levels < SLAB_LEVELS (padded
+             with None to len(occs))
     """
 
     grid0: BrickGrid
     occs: tuple
     nbrs: tuple
     downs: tuple
+    slabs: tuple = ()
 
 
 def default_brick_caps(b_cap0: int, num_levels: int,
@@ -79,6 +88,21 @@ def default_brick_caps(b_cap0: int, num_levels: int,
     return tuple(caps)
 
 
+def default_slab_caps(b_caps, floor: int = 64) -> tuple:
+    """Occupied-slice capacity per slab level.
+
+    Measured slices/brick on ScanNet-shaped scenes: 1.71 at L0, 2.27 at
+    L1 (of 4 dense). 2.25x / 3x the brick cap gives >=1.3x margin on top
+    of the brick caps' own headroom; overflow drops rows (audited like
+    brick overflow)."""
+    ratios = (9, 12)   # quarters of a brick: 2.25x, 3x
+    caps = []
+    for lvl in range(min(SLAB_LEVELS, len(b_caps))):
+        cap = b_caps[lvl] * ratios[min(lvl, len(ratios) - 1)] // 4
+        caps.append(max((cap + 127) // 128 * 128, floor))
+    return tuple(caps)
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def _scene_plan(coords, valid, b_caps):
     grid0 = brickify(coords, valid, b_caps[0])
@@ -92,8 +116,11 @@ def _scene_plan(coords, valid, b_caps):
         table, occ = ds.parent, ds.parent_occ
         occs.append(occ)
         nbrs.append(build_brick_rulebook(table))
+    s_caps = default_slab_caps(b_caps)
+    slab = tuple(slabs.build_slab_maps(occs[lvl], nbrs[lvl], s_caps[lvl])
+                 for lvl in range(len(s_caps)))
     return LevelPlan(grid0=grid0, occs=tuple(occs), nbrs=tuple(nbrs),
-                     downs=tuple(downs))
+                     downs=tuple(downs), slabs=slab)
 
 
 def build_level_plan(coords: jax.Array, valid: jax.Array,
@@ -111,6 +138,7 @@ def build_level_plan(coords: jax.Array, valid: jax.Array,
 class FlatLevel(NamedTuple):
     occ: jax.Array        # (Batch*cap, 64) bool
     nbr: jax.Array        # (Batch*cap, 27) int32, null == Batch*cap
+    slab: Any = None      # slabs.SlabMaps (flat) for slab levels
 
 
 class FlatDown(NamedTuple):
@@ -131,10 +159,14 @@ def _flat_ids(ids: jax.Array, cap: int) -> jax.Array:
 def flatten_plan(plan: LevelPlan):
     """Batched LevelPlan -> per-level flat tables for the 2D engine."""
     levels, downs = [], []
-    for occ, nbr in zip(plan.occs, plan.nbrs):
+    for lvl, (occ, nbr) in enumerate(zip(plan.occs, plan.nbrs)):
         cap = occ.shape[1]
+        slab = None
+        if lvl < len(plan.slabs) and plan.slabs[lvl] is not None:
+            sm = plan.slabs[lvl]
+            slab = slabs.flatten_slab(sm, sm.row2slice.shape[1], cap)
         levels.append(FlatLevel(occ=occ.reshape(-1, CELLS),
-                                nbr=_flat_ids(nbr, cap)))
+                                nbr=_flat_ids(nbr, cap), slab=slab))
     for lvl, ds in enumerate(plan.downs):
         cap_c = plan.occs[lvl].shape[1]
         cap_p = plan.occs[lvl + 1].shape[1]
@@ -153,17 +185,25 @@ def _subm_impl() -> str:
     """Select the submanifold-conv engine (env override for A/B runs).
 
     Default: the wide-lane banded-1D engine (``bricks2d.subm_conv3_2d``).
-    ``DODA_CONV=xla`` routes through the 3D concat-assembly engine
-    (``bricks.subm_conv3_v2``), ``DODA_CONV=oracle`` through the shell-
-    gather oracle — both via reshape shims, for A/B and debugging."""
+    ``DODA_CONV=slab`` selects the slice-compacted window engine
+    (``slabs.subm_conv3_slab``) at levels that carry slab maps —
+    measured SLOWER end-to-end in its v1 form (2.98 vs 4.34 scenes/sec:
+    27 narrow per-source gathers, 12 of them 1C-wide corner rows, lose
+    more than the 2.3x GEMM-row compaction wins; see PERF.md), kept
+    opt-in while the windowing is reworked. ``DODA_CONV=xla`` routes
+    through the 3D concat-assembly engine (``bricks.subm_conv3_v2``),
+    ``DODA_CONV=oracle`` through the shell-gather oracle — both via
+    reshape shims, for A/B and debugging."""
     import os
     sel = os.environ.get('DODA_CONV', '')
-    return sel if sel in ('oracle', 'xla') else '2d'
+    return sel if sel in ('oracle', 'xla', 'slab') else '2d'
 
 
 def _fsubm(x2, fl: FlatLevel, w, dtype):
     impl = _subm_impl()
-    if impl == '2d':
+    if impl == 'slab' and fl.slab is not None:
+        return slabs.subm_conv3_slab(x2, fl.slab, w, dtype)
+    if impl in ('2d', 'slab'):
         return bricks2d.subm_conv3_2d(x2, fl.occ, fl.nbr, w, dtype)
     b = x2.shape[0]
     cin = x2.shape[1] // CELLS
@@ -333,9 +373,14 @@ class SparseConvNet(nn.Module):
                    self.dtype, name='unet')(x, levels, downs, 0, train,
                                             domain)
 
-        x = MaskedBatchNorm(m, dsnorm=self.dsnorm, name='output_norm')(
-            x, levels[0].occ, train, domain)
-        x = nn.relu(x)
+        # output norm folded past the voxel -> point gather: the affine +
+        # relu run on (Batch*N_cap, m) points instead of the 16x larger
+        # cell table (the per-cell pass also forced a 12.6M-row layout
+        # copy before the gather in the traced forward). Stats still
+        # come from the masked cells (norm.py fold path).
+        o_scale, o_bias = MaskedBatchNorm(m, dsnorm=self.dsnorm,
+                                          name='output_norm')(
+            x, levels[0].occ, train, domain, fold=True)
 
         # voxel -> point gather (ref model/unet.py:62): flat global cell
         # ids; misses handled by clamp + where (padding would copy the
@@ -345,7 +390,9 @@ class SparseConvNet(nn.Module):
         offs = (jnp.arange(bt, dtype=jnp.int32) * (cap0 * CELLS))[:, None]
         miss = gidx >= cap0 * CELLS
         gidx = jnp.minimum(gidx + offs, bt * cap0 * CELLS - 1)
-        out_feats = jnp.where(miss[..., None], 0, cells[gidx])
+        gathered = cells[gidx].astype(jnp.float32)
+        out_feats = jnp.where(miss[..., None], 0,
+                              nn.relu(gathered * o_scale + o_bias))
 
         logits = nn.Dense(self.n_classes, name='linear',
                           kernel_init=nn.initializers.lecun_uniform())(

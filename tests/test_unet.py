@@ -96,3 +96,25 @@ def test_unet_dsnorm_domains_differ(rng):
     out0 = model.apply(v, feats, plan, train=False, domain=0)
     out1 = model.apply(v, feats, plan, train=False, domain=1)
     assert np.abs(np.asarray(out0) - np.asarray(out1)).max() > 1e-6
+
+
+def test_unet_engine_equivalence_slab_vs_oracle(rng, monkeypatch):
+    """Model forward on the default (slab at L0/L1 + 2d deeper) engine
+    matches the shell-gather oracle engine, on a sparse scene that
+    exercises missing-face-neighbor halo planes."""
+    coords, valid, feats = make_batch(rng, batch=2, n_cap=512,
+                                      n_real=350, extent=100)
+    caps = default_brick_caps(512, 3, floor=32)
+    plan = build_level_plan(coords, valid, caps)
+    model = SparseConvNet(in_channel=3, mid_channel=4, n_classes=5,
+                          num_levels=3, dtype=F32)
+    variables = model.init(jax.random.PRNGKey(0), feats, plan, train=False)
+
+    monkeypatch.setenv('DODA_CONV', 'slab')
+    out_slab = np.asarray(model.apply(variables, feats, plan, train=False))
+    monkeypatch.delenv('DODA_CONV', raising=False)
+    out_2d = np.asarray(model.apply(variables, feats, plan, train=False))
+    monkeypatch.setenv('DODA_CONV', 'oracle')
+    out_or = np.asarray(model.apply(variables, feats, plan, train=False))
+    np.testing.assert_allclose(out_slab, out_or, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(out_2d, out_or, rtol=2e-4, atol=2e-4)
