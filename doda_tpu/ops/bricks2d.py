@@ -214,7 +214,8 @@ def _occ_rep(occ: jax.Array, cout: int) -> jax.Array:
 
 def _assemble_p6(x2: jax.Array, nbr: jax.Array,
                  compute_dtype) -> jax.Array:
-    """Window assembly: (B, 64*cin) -> (B, 6, 36*cin) banded-conv input."""
+    """Halo-plane assembly: (B, 64*cin) -> list of 6 (B, 36*cin) rows
+    [x=-1 plane, 4 in-brick planes, x=+4 plane] for the shifted GEMMs."""
     b, lanes = x2.shape
     cin = lanes // CELLS
     x = x2.astype(compute_dtype)
@@ -278,12 +279,11 @@ def _assemble_p6(x2: jax.Array, nbr: jax.Array,
 
     row_m = xplane(-1)
     row_p = xplane(1)
-    # one 3D concat writes the conv input directly — no 2D->3D relayout
-    p6 = jnp.concatenate(
-        [r[:, None, :] for r in [row_m, *rows, row_p]], axis=1)
-    # barrier: stop XLA re-fusing the whole assembly into the conv's
-    # window reads (same hazard as bricks.subm_conv3_v2)
-    return jax.lax.optimization_barrier(p6)
+    # barrier each row: stop XLA re-fusing the assembly into the GEMM
+    # operand reads (same hazard as bricks.subm_conv3_v2; each row feeds
+    # up to 3 of the shifted GEMMs below)
+    return [jax.lax.optimization_barrier(r)
+            for r in [row_m, *rows, row_p]]
 
 
 def _flip_weights(w: jax.Array) -> jax.Array:
@@ -316,14 +316,41 @@ def subm_conv3_2d(x2: jax.Array, occ: jax.Array, nbr: jax.Array,
 
 def _subm_raw(x2, nbr, weights, compute_dtype):
     """Assembly + banded conv, unmasked (dx in the VJP must keep the
-    inactive-cell gradient — upstream masked producers zero it)."""
-    b = x2.shape[0]
-    cout = weights.shape[2]
+    inactive-cell gradient — upstream masked producers zero it).
+
+    The conv runs as 12 shifted GEMMs over the 6 halo-plane rows
+    (out_x = sum_j rows[x+j] @ wb[j]) instead of materializing the
+    (B, 6, 36C) window for lax.conv — the window buffer cost a full
+    HBM write + read per conv (~1.4 GB at the L0 bench shape; the DUS
+    build + conv read were the two largest trace buckets). When the
+    banded weights fit in VMEM, a fused Mosaic kernel
+    (pallas_banded.banded_conv) runs the 12 contractions with each
+    plane row read from HBM exactly once instead of up to 3 times."""
+    import os
+    from . import pallas_banded
+    cin, cout = weights.shape[1], weights.shape[2]
     wb = banded_weights(weights.astype(compute_dtype))
-    p6 = _assemble_p6(x2, nbr, compute_dtype)
-    out = jax.lax.conv_general_dilated(
-        p6, wb, (1,), 'VALID', dimension_numbers=('NWC', 'WIO', 'NWC'))
-    return out.reshape(b, CELLS * cout).astype(x2.dtype)
+    rows6 = _assemble_p6(x2, nbr, compute_dtype)
+    # DODA_PALLAS: '1' enables the fused kernel on TPU, 'force' enables
+    # it off-TPU (interpret mode, for tests). Default OFF: standalone
+    # the kernel matches the XLA GEMMs (10.2 vs 10.5 ms at the L0 bench
+    # shape), but in-model it measured 3.05 vs 4.37 scenes/sec — the
+    # pallas_call serializes against surrounding assembly fusions that
+    # XLA otherwise overlaps. Revisit with gather+GEMM fusion inside
+    # the kernel.
+    sel = os.environ.get('DODA_PALLAS', '0')
+    use_pallas = (sel == 'force'
+                  or (sel == '1' and jax.default_backend() == 'tpu'))
+    if use_pallas and pallas_banded.fits_pallas(
+            x2.shape[0], cin, cout, jnp.dtype(compute_dtype).itemsize):
+        return pallas_banded.banded_conv(rows6, wb, x2.dtype)
+    outs = []
+    for x in range(BRICK):
+        acc = jnp.dot(rows6[x], wb[0])
+        acc = acc + jnp.dot(rows6[x + 1], wb[1])
+        acc = acc + jnp.dot(rows6[x + 2], wb[2])
+        outs.append(acc)
+    return jnp.concatenate(outs, axis=1).astype(x2.dtype)
 
 
 def _subm2d_fwd(x2, occ, nbr, weights, compute_dtype):
@@ -341,12 +368,13 @@ def _subm2d_bwd(compute_dtype, res, g):
     # matches the dense transpose exactly; upstream masks handle it)
     dx = _subm_raw(g, nbr, _flip_weights(weights), compute_dtype)
     # dW: contract re-assembled windows against g (remat the assembly —
-    # storing p6 across the whole network would blow HBM)
-    p6 = _assemble_p6(x2, nbr, compute_dtype)
+    # storing the halo rows across the whole network would blow HBM)
+    rows6 = _assemble_p6(x2, nbr, compute_dtype)
     g4 = g.reshape(b, BRICK, OUTP * cout).astype(compute_dtype)
     dwb = jnp.stack([
-        jnp.einsum('bxk,bxn->kn', p6[:, i:i + BRICK], g4,
-                   preferred_element_type=jnp.float32)
+        sum(jnp.einsum('bk,bn->kn', rows6[i + x], g4[:, x],
+                       preferred_element_type=jnp.float32)
+            for x in range(BRICK))
         for i in range(3)])
     m = jnp.asarray(_band_np(cin, cout), jnp.float32)
     d5 = dwb.reshape(3, PLANE, cin, OUTP, cout)
