@@ -45,7 +45,16 @@ class MaskedBatchNorm(nn.Module):
     affine: bool = True
 
     @nn.compact
-    def __call__(self, x, mask, train: bool, domain=0):
+    def __call__(self, x, mask, train: bool, domain=0, fold: bool = False):
+        """With ``fold=True`` returns the effective per-channel
+        ``(scale, bias)`` of shape (C,) instead of applying them —
+        running stats are still computed/updated from the masked cells
+        exactly as in the applying path. Callers fold the affine into a
+        cheaper downstream pass (e.g. after the voxel->point gather,
+        786k rows instead of 12.6M cells at the bench shape)."""
+        return self._norm(x, mask, train, domain, fold)
+
+    def _norm(self, x, mask, train, domain, fold):
         c = self.features
         cells = x.shape[-1] // c
         n_domains = 2 if self.dsnorm else 1
@@ -82,6 +91,8 @@ class MaskedBatchNorm(nn.Module):
             bias = self.param('bias', nn.initializers.zeros, (c,))
             scale_eff = rs * scale
             bias_eff = bias - mean * rs * scale
+        if fold:
+            return scale_eff, bias_eff
         y = (x.astype(jnp.float32) * jnp.tile(scale_eff, cells)
              + jnp.tile(bias_eff, cells))
         return jnp.where(jnp.repeat(mask, c, axis=1), y, 0.0).astype(x.dtype)
