@@ -54,7 +54,10 @@ def elastic(xyz, gran, mag, rng):
     """Elastic distortion in voxel units (ref: augmentor_utils.py:61-80).
 
     Noise grids are blurred twice with 3-tap box filters along each axis
-    (uniform_filter1d(size=3) == convolution with ones(3)/3)."""
+    (uniform_filter1d(size=3) == convolution with ones(3)/3). The
+    trilinear lookup is hand-vectorized for the regular grid — scipy's
+    RegularGridInterpolator searchsorts every query per axis and was
+    ~70% of the whole host __getitem__ at 150k points."""
     dims = np.abs(xyz).max(0).astype(np.int32) // gran + 3
     noise = [rng.standard_normal(dims).astype(np.float32) for _ in range(3)]
     for _ in range(2):
@@ -62,11 +65,35 @@ def elastic(xyz, gran, mag, rng):
             noise = [scipy.ndimage.uniform_filter1d(
                 n, size=3, axis=axis, mode='constant', cval=0)
                 for n in noise]
-    ax = [np.linspace(-(d - 1) * gran, (d - 1) * gran, d) for d in dims]
-    interp = [scipy.interpolate.RegularGridInterpolator(
-        ax, n, bounds_error=False, fill_value=0) for n in noise]
-    offset = np.stack([f(xyz) for f in interp], axis=1)
+    offset = _trilinear_regular(noise, dims, gran, xyz)
     return xyz + offset * mag
+
+
+def _trilinear_regular(noise, dims, gran, xyz):
+    """Trilinear interp of 3 noise fields on the reference's grid
+    (axes span +-(d-1)*gran with d points -> spacing 2*gran); queries
+    outside the grid get 0 (RegularGridInterpolator fill_value)."""
+    dims = np.asarray(dims, np.int64)
+    u = (xyz + (dims - 1) * gran) / (2.0 * gran)        # (N, 3)
+    oob = ((u < 0) | (u > dims - 1)).any(axis=1)
+    i0 = np.clip(np.floor(u).astype(np.int64), 0, dims - 2)
+    frac = (u - i0).astype(np.float32)
+    n3 = np.stack(noise).reshape(3, -1)                 # (3, cells)
+    sy, sz = int(dims[1] * dims[2]), int(dims[2])
+    base = i0[:, 0] * sy + i0[:, 1] * sz + i0[:, 2]
+    w1 = frac.T                                          # (3, N) per-axis
+    w0 = 1.0 - w1
+    acc = np.zeros((3, xyz.shape[0]), np.float32)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                w = ((w1[0] if dx else w0[0])
+                     * (w1[1] if dy else w0[1])
+                     * (w1[2] if dz else w0[2]))
+                idx = base + dx * sy + dy * sz + dz
+                acc += w[None, :] * n3[:, idx]
+    acc[:, oob] = 0.0
+    return acc.T
 
 
 # ==== scene-level rigid/affine aug ====
