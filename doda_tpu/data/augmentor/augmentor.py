@@ -150,17 +150,34 @@ class DataAugmentor:
             self.split_sampler = SplitSampler(tacm_cfg['cuboid_queue'])
 
     def init_queue(self, aug_list):
-        self.pipeline = [(name, getattr(self, name),
-                          self.cfg.get(name)) for name in aug_list]
+        """Device mode (``DATA_AUG.device``): scene_aug + elastic move
+        into the jitted train step (data/device_aug.py); the host keeps
+        the stages that change the point set or need irregular state
+        (vss/tacm/crop/shuffle). scene_aug drops out of the pipeline and
+        elastic runs its pass-through branch (scale + min-shift only) so
+        crop still sees voxel-unit coords."""
+        device = bool(self.cfg.get('device', False))
+        self.pipeline = []
+        for name in aug_list:
+            if device and name == 'scene_aug':
+                continue
+            stage_cfg = None if (device and name == 'elastic') \
+                else self.cfg.get(name)
+            self.pipeline.append((name, getattr(self, name), stage_cfg))
 
-    def forward(self, data):
+    def forward(self, data, rng=None):
+        """``rng``: the per-item Generator (Dataset.item_rng). Falls back
+        to the augmentor's own stream for single-threaded callers; loader
+        worker threads MUST pass one (a shared np.random.Generator is not
+        thread-safe and loses run-to-run determinism under workers>1)."""
+        rng = self.rng if rng is None else rng
         data['valid'] = True
         for _, fn, cfg in self.pipeline:
-            data = fn(cfg, data)
+            data = fn(cfg, data, rng)
         return data
 
-    def _enabled(self, cfg):
-        return aug_ops.check_key(cfg) and aug_ops.check_p(cfg, self.rng)
+    def _enabled(self, cfg, rng):
+        return aug_ops.check_key(cfg) and aug_ops.check_p(cfg, rng)
 
     def _ok(self, data):
         return data.get('valid', True)
@@ -174,24 +191,26 @@ class DataAugmentor:
 
     # ---- stages (names match cfg aug_list entries) ----
 
-    def scene_aug(self, cfg, data):
+    def scene_aug(self, cfg, data, rng=None):
         """(ref: data_augmentor.py:188-193)"""
-        if self._enabled(cfg) and self._ok(data):
+        rng = self.rng if rng is None else rng
+        if self._enabled(cfg, rng) and self._ok(data):
             data['xyz_middle'] = aug_ops.scene_aug(cfg, data['xyz_middle'],
-                                                   self.rng)
+                                                   rng)
             if data['xyz_middle'].shape[0] == 0:
                 data['valid'] = False
         return data
 
-    def elastic(self, cfg, data):
+    def elastic(self, cfg, data, rng=None):
         """(ref: data_augmentor.py:171-186)"""
+        rng = self.rng if rng is None else rng
         data['xyz'] = data['xyz_middle'] * self.voxel_scale
-        if self._enabled(cfg) and self._ok(data):
+        if self._enabled(cfg, rng) and self._ok(data):
             try:
                 for gran_fac, mag_fac in cfg['value']:
                     data['xyz'] = aug_ops.elastic(
                         data['xyz'], gran_fac * self.voxel_scale // 50,
-                        mag_fac * self.voxel_scale / 50, self.rng)
+                        mag_fac * self.voxel_scale / 50, rng)
                 if cfg.get('apply_to_feat', False):
                     data['xyz_middle'] = data['xyz'] / self.voxel_scale
             except Exception:
@@ -199,41 +218,45 @@ class DataAugmentor:
         data['xyz'] = data['xyz'] - data['xyz'].min(0)
         return data
 
-    def vss(self, cfg, data):
+    def vss(self, cfg, data, rng=None):
         """(ref: data_augmentor.py:195-204)"""
-        if self._enabled(cfg) and self._ok(data):
+        rng = self.rng if rng is None else rng
+        if self._enabled(cfg, rng) and self._ok(data):
             xyz, keep = aug_ops.virtual_scan_simulation(
                 cfg, data['xyz_middle'], data['label'], self.class_names,
-                self.rng, ignore_label=self.ignore_label)
+                rng, ignore_label=self.ignore_label)
             data['xyz_middle'] = xyz
             data = self._select(data, keep)
             if data['xyz_middle'].shape[0] == 0:
                 data['valid'] = False
         return data
 
-    def tacm(self, cfg, data):
+    def tacm(self, cfg, data, rng=None):
         """Two-cloud mixing entry (ref: data_augmentor.py:207-221)."""
+        rng = self.rng if rng is None else rng
         if aug_ops.check_key(cfg):
             xyz, label, info = aug_ops.tacm(
                 cfg, self.split_sampler, self.class_names,
                 (data.pop('xyz_middle1'), data.pop('label1')),
-                (data.pop('xyz_middle2'), data.pop('label2')), self.rng)
+                (data.pop('xyz_middle2'), data.pop('label2')), rng)
             data['xyz_middle'] = xyz
             data['label'] = label
             data['tacm_info'] = info
         return data
 
-    def crop(self, cfg, data):
+    def crop(self, cfg, data, rng=None):
         """(ref: data_augmentor.py:223-230)"""
+        rng = self.rng if rng is None else rng
         data['xyz'], valid_idx = aug_ops.crop(
             data['xyz'], self.full_scale, self.point_range,
-            self.max_npoint, self.rng)
+            self.max_npoint, rng)
         data = self._select(data, valid_idx)
         if data['xyz_middle'].shape[0] == 0:
             data['valid'] = False
         return data
 
-    def shuffle(self, cfg, data):
+    def shuffle(self, cfg, data, rng=None):
         """(ref: data_augmentor.py:232-235)"""
-        perm = self.rng.permutation(data['xyz_middle'].shape[0])
+        rng = self.rng if rng is None else rng
+        perm = rng.permutation(data['xyz_middle'].shape[0])
         return self._select(data, perm)

@@ -70,7 +70,15 @@ class Dataset:
         self.ignore_label = cfg.DATA_CLASS.ignore_label
         self.pseudo_labels_dir = None
         self.use_soft_labels = False
+        # self.rng serves the single-threaded collate path only; worker
+        # threads draw from per-item generators (item_rng) — a shared
+        # Generator is not thread-safe and loses determinism under the
+        # loader's thread pool (ref analog: torch per-worker seeding,
+        # util/common_utils.py:303-306).
         self.rng = np.random.default_rng(seed)
+        self._entropy = seed if seed is not None \
+            else int(np.random.SeedSequence().entropy) % (1 << 63)
+        self._epoch = 0
 
         self.aug = cfg.DATA_AUG
         self.augmentor = DataAugmentor(
@@ -98,6 +106,17 @@ class Dataset:
 
     def set_training_mode(self, training):
         self.training = training
+
+    def set_epoch(self, epoch):
+        """Advance the per-item RNG streams (called by DataLoader)."""
+        self._epoch = int(epoch)
+
+    def item_rng(self, item):
+        """Deterministic thread-local Generator for one ``__getitem__``
+        call: keyed by (seed, epoch, item) so the augmentation stream is
+        reproducible regardless of worker count or completion order."""
+        return np.random.default_rng(
+            (self._entropy, self._epoch, int(item)))
 
     def get_downsampling_scale(self):
         return self.downsampling_scale
@@ -154,9 +173,10 @@ class Dataset:
         with open(self.pseudo_labels_dir / 'txt' / (data_name + '.txt')) as f:
             return np.loadtxt(f, dtype=np.int64).reshape(-1)
 
-    def subsample_idx(self, n, ds_scale):
+    def subsample_idx(self, n, ds_scale, rng=None):
         """Random 1/ds_scale subset, sorted (ref: dataset/dataset.py:73-77)."""
-        idx = self.rng.permutation(n)[:int(n / ds_scale)]
+        rng = self.rng if rng is None else rng
+        idx = rng.permutation(n)[:int(n / ds_scale)]
         idx.sort()
         return idx
 
@@ -251,9 +271,10 @@ class Dataset:
     def load_data(self, index):
         raise NotImplementedError
 
-    def run_augmentor(self, xyz, label):
+    def run_augmentor(self, xyz, label, rng=None):
         """Returns (xyz_voxel, xyz_middle, label) or None if invalid."""
-        data = self.augmentor.forward({'xyz_middle': xyz, 'label': label})
+        data = self.augmentor.forward({'xyz_middle': xyz, 'label': label},
+                                      rng)
         if not data['valid']:
             return None
         return data['xyz'], data['xyz_middle'], data['label']

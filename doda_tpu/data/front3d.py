@@ -69,23 +69,30 @@ class Front3dDataset(Dataset):
 
     def __getitem__(self, item):
         """(ref: dataset/front3d.py:59-86)"""
+        rng = self.item_rng(item)
         index = item % len(self.data_list)
-        xyz, label = self.load_data(index)
-        xyz -= xyz.mean(0)
-        sel = None
-        if self.downsampling_scale > 1:
-            sel = self.subsample_idx(xyz.shape[0], self.downsampling_scale)
-            xyz, label = xyz[sel], label[sel]
-        if self.soft_mode:
-            return self.soft_item(index, xyz, label, sel)
-        if self.training and self.aug.get('enabled', False):
-            out = self.run_augmentor(xyz, label)
-            if out is None:
-                return self.__getitem__(int(self.rng.integers(len(self))))
-            xyz_v, xyz_middle, label = out
-        else:
-            xyz_v, xyz_middle = self.plain_item(xyz)
-        # reject spatially degenerate augmented scenes (ref :80-81)
-        if self.training and (xyz_v.max(0) // 64).min() < 1:
-            return self.__getitem__(int(self.rng.integers(len(self))))
-        return xyz_v, xyz_middle, label, index, {}
+        for _ in range(64):  # retry-on-empty (deterministic stream)
+            xyz, label = self.load_data(index)
+            xyz -= xyz.mean(0)
+            sel = None
+            if self.downsampling_scale > 1:
+                sel = self.subsample_idx(xyz.shape[0],
+                                         self.downsampling_scale, rng)
+                xyz, label = xyz[sel], label[sel]
+            if self.soft_mode:
+                return self.soft_item(index, xyz, label, sel)
+            if self.training and self.aug.get('enabled', False):
+                out = self.run_augmentor(xyz, label, rng)
+                if out is None:
+                    index = int(rng.integers(len(self)))
+                    continue
+                xyz_v, xyz_middle, label = out
+            else:
+                xyz_v, xyz_middle = self.plain_item(xyz)
+            # reject spatially degenerate augmented scenes (ref :80-81)
+            if self.training and (xyz_v.max(0) // 64).min() < 1:
+                index = int(rng.integers(len(self)))
+                continue
+            return xyz_v, xyz_middle, label, index, {}
+        raise RuntimeError('augmentor produced 64 empty/degenerate scenes '
+                           'in a row — check DATA_AUG config')

@@ -75,6 +75,11 @@ class DataLoader:
         return len(self.sampler)
 
     def __iter__(self):
+        # keep the dataset's per-item RNG streams in step with the
+        # sampler's epoch (fresh augmentation draws every epoch)
+        set_epoch = getattr(self.dataset, 'set_epoch', None)
+        if set_epoch is not None:
+            set_epoch(self.sampler.epoch)
         idx = self.sampler.indices()
         batches = [idx[i:i + self.batch_size]
                    for i in range(0, len(idx), self.batch_size)]

@@ -57,24 +57,30 @@ class S3DISDataset(Dataset):
 
     def __getitem__(self, item):
         """(ref: dataset/s3dis.py:54-81)"""
+        rng = self.item_rng(item)
         index = item % len(self.data_list)
-        xyz_all, label_all = self.load_data(index)
-        xyz_all = xyz_all - xyz_all.mean(0)
-        sel = None
-        if self.downsampling_scale > 1:
-            sel = self.subsample_idx(xyz_all.shape[0],
-                                     self.downsampling_scale)
-            xyz, label = xyz_all[sel], label_all[sel]
+        for _ in range(64):  # retry-on-empty (deterministic stream)
+            xyz_all, label_all = self.load_data(index)
+            xyz_all = xyz_all - xyz_all.mean(0)
+            sel = None
+            if self.downsampling_scale > 1:
+                sel = self.subsample_idx(xyz_all.shape[0],
+                                         self.downsampling_scale, rng)
+                xyz, label = xyz_all[sel], label_all[sel]
+            else:
+                xyz, label = xyz_all.copy(), label_all.copy()
+            if self.soft_mode:
+                return self.soft_item(index, xyz, label, sel)
+            if not (self.training and self.aug.get('enabled', False)):
+                break
+            out = self.run_augmentor(xyz, label, rng)
+            if out is not None:
+                xyz_v, xyz_middle, label = out
+                return xyz_v, xyz_middle, label, index, {}
+            index = int(rng.integers(len(self)))
         else:
-            xyz, label = xyz_all.copy(), label_all.copy()
-        if self.soft_mode:
-            return self.soft_item(index, xyz, label, sel)
-        if self.training and self.aug.get('enabled', False):
-            out = self.run_augmentor(xyz, label)
-            if out is None:
-                return self.__getitem__(int(self.rng.integers(len(self))))
-            xyz_v, xyz_middle, label = out
-            return xyz_v, xyz_middle, label, index, {}
+            raise RuntimeError('augmentor produced 64 empty scenes in a '
+                               'row — check DATA_AUG config')
         xyz_v, xyz_middle = self.plain_item(xyz)
         if self.training:
             return xyz_v, xyz_middle, label, index, {}
@@ -84,7 +90,7 @@ class S3DISDataset(Dataset):
     def test_collate_fn(self, items):
         """Carry full-resolution arrays for KNN broadcast
         (ref: dataset/s3dis.py:89-130)."""
-        points, ids, lengths, _ = self._pad_items(items)
+        points, ids, lengths, _, _ = self._pad_items(items)
         full = {
             'xyz_middle_all': [it[4]['xyz_middle_all'] for it in items],
             'label_all': [it[4]['label_all'] for it in items],

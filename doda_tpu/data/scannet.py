@@ -67,16 +67,25 @@ class ScanNetDataset(Dataset):
 
     def __getitem__(self, item):
         """(ref: dataset/scannet.py:60-83)"""
+        rng = self.item_rng(item)
         index = item % len(self.data_list)
         xyz, label = self.load_data(index)
         if self.soft_mode:
             # SOFT_LABEL mode: plain path keeps soft rows point-aligned
             return self.soft_item(index, xyz, label)
         if self.training and self.aug.get('enabled', False):
-            out = self.run_augmentor(xyz, label)
-            if out is None:  # retry with a random index (ref :72-73)
-                return self.__getitem__(
-                    int(self.rng.integers(len(self))))
+            # retry-on-empty with a random index (ref :72-73); the loop
+            # continues the same per-item stream, so the chain is
+            # deterministic and cannot cycle
+            for _ in range(64):
+                out = self.run_augmentor(xyz, label, rng)
+                if out is not None:
+                    break
+                index = int(rng.integers(len(self)))
+                xyz, label = self.load_data(index)
+            else:
+                raise RuntimeError('augmentor produced 64 empty scenes '
+                                   'in a row — check DATA_AUG config')
             xyz_v, xyz_middle, label = out
         else:
             xyz_v, xyz_middle = self.plain_item(xyz)

@@ -117,6 +117,20 @@ def make_steps(cfg, model: SparseConvNet, tx, b_caps):
         'n_classes', cfg.DATA_CONFIG.DATA_CLASS.n_classes)
     b_caps = tuple(b_caps)
 
+    # device-side augmentation (DATA_AUG.device): scene_aug + elastic run
+    # inside the jitted step on the padded batch; keys derive from
+    # state.step so no per-iteration host dispatch is needed.
+    from ..data.device_aug import aug_fn_for
+    src_aug = aug_fn_for(cfg.DATA_CONFIG)
+    tar_cfg = cfg.get('DATA_CONFIG_TAR', None)
+    # ST targets flow through the mix dataset's post pipeline
+    # (elastic/crop/shuffle, mix_dataset.py:27-29); soft-label batches
+    # skip augmentation entirely (dataset.py::soft_item).
+    tar_aug = aug_fn_for(tar_cfg, ['elastic', 'crop', 'shuffle']) \
+        if tar_cfg else None
+    aug_base_key = jax.random.PRNGKey(
+        int(cfg.get('AUG_SEED', 0)) if hasattr(cfg, 'get') else 0)
+
     def forward(params, batch_stats, batch, train, domain, mutable):
         plan = build_level_plan(batch.coords, batch.valid, b_caps)
         feats = model_input(cfg, batch)
@@ -137,6 +151,10 @@ def make_steps(cfg, model: SparseConvNet, tx, b_caps):
 
     def train_step(state: TrainState, batch: PointBatch, lr,
                    domain=0, loss_weight=None):
+        if src_aug is not None:
+            batch = src_aug(batch, jax.random.fold_in(aug_base_key,
+                                                      state.step))
+
         def loss_fn(params):
             logits, new_bs = forward(params, state.batch_stats, batch,
                                      True, domain, ['batch_stats'])
@@ -228,6 +246,15 @@ def make_steps(cfg, model: SparseConvNet, tx, b_caps):
         (domain 1) — the fused equivalent of the reference's two
         backward passes + single optimizer.step()
         (ref: tool/st.py:136-198)."""
+        if src_aug is not None:
+            src_batch = src_aug(
+                src_batch,
+                jax.random.fold_in(aug_base_key, 2 * state.step))
+        if tar_aug is not None and not (soft_enabled
+                                        and tar_soft is not None):
+            tar_batch = tar_aug(
+                tar_batch,
+                jax.random.fold_in(aug_base_key, 2 * state.step + 1))
 
         def loss_fn(params):
             logits_s, bs1 = forward(params, state.batch_stats, src_batch,
@@ -267,8 +294,7 @@ def make_steps(cfg, model: SparseConvNet, tx, b_caps):
     return jax.jit(train_step), jax.jit(eval_step), jax.jit(st_step)
 
 
-def init_state(cfg, model, tx, rng_key, batch: PointBatch = None,
-               b_caps=None):
+def init_state(cfg, model, tx, rng_key):
     """Initialize params/stats/optimizer.
 
     Parameter shapes don't depend on the data, so init runs jitted on a
