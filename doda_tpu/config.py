@@ -93,6 +93,16 @@ def cfg_from_yaml_file(cfg_file, config):
     with open(cfg_file, 'r') as f:
         new_config = yaml.safe_load(f)
     merge_new_config(config=config, new_config=new_config)
+    # supervised single-dataset experiments (e.g. front3d/spconv.yaml,
+    # which upstream ships without COMMON_CLASSES and with a missing
+    # base cfg — it cannot run there): default the common class table
+    # from the source dataset so every shipped config is usable.
+    if ('COMMON_CLASSES' not in config and 'DATA_CONFIG' in config
+            and 'DATA_CLASS' in config.DATA_CONFIG):
+        dc = config.DATA_CONFIG.DATA_CLASS
+        config['COMMON_CLASSES'] = CfgNode({
+            'n_classes': dc.n_classes,
+            'class_names': list(dc.class_names)})
     return config
 
 
