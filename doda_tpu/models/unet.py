@@ -384,13 +384,31 @@ class SparseConvNet(nn.Module):
 
         # voxel -> point gather (ref model/unet.py:62): flat global cell
         # ids; misses handled by clamp + where (padding would copy the
-        # whole 6M-row cell table to add one zero row)
-        cells = x.reshape(bt * cap0 * CELLS, m)
+        # whole 6M-row cell table to add one zero row).
+        #
+        # Gather at 128-LANE GROUP granularity: a (cells, m) table with
+        # m = 16 lanes per row is sub-tile, so XLA relayouts it
+        # column-major and the row gather goes element-strided (traced
+        # at ~24 ms for 786k points). Gathering g = 128/m cells per row
+        # keeps full-tile rows (~1 ns/row) and the sub-block select is
+        # a fused one-hot multiply-reduce.
         gidx = jax.vmap(lambda g: g.flat_index())(grid0)  # (Batch, N_cap)
         offs = (jnp.arange(bt, dtype=jnp.int32) * (cap0 * CELLS))[:, None]
         miss = gidx >= cap0 * CELLS
         gidx = jnp.minimum(gidx + offs, bt * cap0 * CELLS - 1)
-        gathered = cells[gidx].astype(jnp.float32)
+        g = max(1, 128 // m)
+        if CELLS % g == 0 and (m * g) % 128 == 0:
+            rows_g = x.reshape(bt * cap0 * CELLS // g, g * m)
+            grow = rows_g[(gidx // g).reshape(-1)]        # (pts, g*m)
+            sub = (gidx % g).reshape(-1)
+            onehot = (sub[:, None]
+                      == jnp.arange(g, dtype=jnp.int32)[None, :])
+            picked = (grow.reshape(-1, g, m)
+                      * onehot[:, :, None].astype(grow.dtype)).sum(1)
+            gathered = picked.reshape(bt, -1, m).astype(jnp.float32)
+        else:
+            cells = x.reshape(bt * cap0 * CELLS, m)
+            gathered = cells[gidx].astype(jnp.float32)
         out_feats = jnp.where(miss[..., None], 0,
                               nn.relu(gathered * o_scale + o_bias))
 
