@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from ..ops import bricks2d, slabs
 from ..ops.bricks import (CELLS, BrickGrid, brick_feats_2d, brickify,
                           build_brick_downsample, build_brick_rulebook,
-                          subm_conv3)
+                          row_gather_128, subm_conv3)
 
 Dtype = Any
 
@@ -396,19 +396,9 @@ class SparseConvNet(nn.Module):
         offs = (jnp.arange(bt, dtype=jnp.int32) * (cap0 * CELLS))[:, None]
         miss = gidx >= cap0 * CELLS
         gidx = jnp.minimum(gidx + offs, bt * cap0 * CELLS - 1)
-        g = max(1, 128 // m)
-        if CELLS % g == 0 and (m * g) % 128 == 0:
-            rows_g = x.reshape(bt * cap0 * CELLS // g, g * m)
-            grow = rows_g[(gidx // g).reshape(-1)]        # (pts, g*m)
-            sub = (gidx % g).reshape(-1)
-            onehot = (sub[:, None]
-                      == jnp.arange(g, dtype=jnp.int32)[None, :])
-            picked = (grow.reshape(-1, g, m)
-                      * onehot[:, :, None].astype(grow.dtype)).sum(1)
-            gathered = picked.reshape(bt, -1, m).astype(jnp.float32)
-        else:
-            cells = x.reshape(bt * cap0 * CELLS, m)
-            gathered = cells[gidx].astype(jnp.float32)
+        cells = x.reshape(bt * cap0 * CELLS, m)
+        gathered = row_gather_128(cells, gidx.reshape(-1)).reshape(
+            bt, -1, m).astype(jnp.float32)
         out_feats = jnp.where(miss[..., None], 0,
                               nn.relu(gathered * o_scale + o_bias))
 

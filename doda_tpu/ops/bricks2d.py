@@ -291,6 +291,135 @@ def _flip_weights(w: jax.Array) -> jax.Array:
     return jnp.transpose(w[::-1], (0, 2, 1))
 
 
+# ---------------------------------------------------------------------------
+# source-major conv path: GEMMs run directly on the gathered operands
+# (x2 / in-plane pieces / x-halo planes) — the 4 center halo-plane rows
+# are never materialized in HBM. Operand lane blocks are padded to
+# 128-lane multiples so the fused Pallas kernel (pallas_sm.py) can slice
+# them without Mosaic relayouts.
+# ---------------------------------------------------------------------------
+
+# in-plane halo positions in gyz x-run lane order: the four 4-cell edge
+# runs (z-1, z+1, y-1, y+1 — each contiguous in its source piece) then
+# the four corners; runs are padded 20 -> 24 cells (zero weights) so
+# per-x offsets 24*cin stay 128-aligned for cin % 16 == 0.
+_H_LIST = ([(y, -1) for y in range(BRICK)] + [(y, BRICK) for y in range(BRICK)]
+           + [(-1, z) for z in range(BRICK)] + [(BRICK, z) for z in range(BRICK)]
+           + [(-1, -1), (-1, BRICK), (BRICK, -1), (BRICK, BRICK)])
+RUN = len(_H_LIST) + 4          # 24 cells per padded x-run
+XPAD = PLANE + 4                # x-plane rows padded 36 -> 40 cells
+
+
+def sm_weights(w: jax.Array, compute_dtype):
+    """(27, cin, cout) -> (wc (3,16C,16Co), wh (3,24C,16Co), wx (2,40C,16Co)).
+
+    Derived from the banded weights by static plane-row selection, so the
+    source-major GEMMs are bit-identical to the rows6 form."""
+    cin, cout = w.shape[1], w.shape[2]
+    wb = banded_weights(w.astype(compute_dtype))          # (3, 36C, 16Co)
+    n = wb.shape[2]
+    wb4 = wb.reshape(3, PLANE, cin, n)
+    idx_c = [(cy + 1) * H + (cz + 1)
+             for cy in range(BRICK) for cz in range(BRICK)]
+    wc = wb4[:, jnp.asarray(idx_c)].reshape(3, OUTP * cin, n)
+    idx_h = [(hy + 1) * H + (hz + 1) for hy, hz in _H_LIST]
+    wh = wb4[:, jnp.asarray(idx_h)].reshape(3, len(_H_LIST) * cin, n)
+    wh = jnp.concatenate(
+        [wh, jnp.zeros((3, 4 * cin, n), wh.dtype)], axis=1)
+    wx = jnp.stack([wb[0], wb[2]])
+    wx = jnp.concatenate(
+        [wx, jnp.zeros((2, 4 * cin, n), wx.dtype)], axis=1)
+    return wc, wh, wx
+
+
+def _assemble_sm(x2: jax.Array, nbr: jax.Array, compute_dtype):
+    """Gathered operands for the source-major GEMMs.
+
+    Returns (x, gyz (B,96C), gxm (B,40C), gxp (B,40C)): gyz interleaves
+    the 8 in-plane neighbor pieces x-major (each x-run = [z-1 4 cells |
+    z+1 | y-1 | y+1 | 4 corners | 4 zero cells]); gxm/gxp are the exact
+    9-source x-halo planes (as _assemble_p6) padded to 40 cells. The
+    gathers fuse into the concat emissions — every byte written once."""
+    b, lanes = x2.shape
+    cin = lanes // CELLS
+    x = x2.astype(compute_dtype)
+
+    def null_gather(table, idx):
+        g = table[jnp.minimum(idx, b - 1)]
+        return jnp.where((idx < b)[:, None], g, 0)
+
+    tab = extract_tab_yz(x, cin)
+    plan, _ = _yz_piece_plan()
+    gathered = {}
+    for d in _OFFS2:
+        st, cells = plan[d]
+        col = dir3_index(0, *d)
+        gathered[d] = null_gather(
+            tab[:, st * cin:(st + len(cells)) * cin], nbr[:, col])
+
+    zpad = jnp.zeros((b, 4 * cin), compute_dtype)
+    parts = []
+    for xr in range(BRICK):
+        # edge runs: piece cells are x-major so run xr is contiguous
+        for d in ((0, -1), (0, 1), (-1, 0), (1, 0)):
+            parts.append(gathered[d][:, xr * BRICK * cin:
+                                     (xr + 1) * BRICK * cin])
+        for d in ((-1, -1), (-1, 1), (1, -1), (1, 1)):
+            parts.append(gathered[d][:, xr * cin:(xr + 1) * cin])
+        parts.append(zpad)
+    gyz = jnp.concatenate(parts, axis=1)
+
+    def xplane(dx):
+        xs = BRICK - 1 if dx == -1 else 0
+        gx2 = null_gather(x[:, xs * 16 * cin:(xs * 16 + 16) * cin],
+                          nbr[:, dir3_index(dx, 0, 0)])
+        gsub = {}
+        for d in _OFFS2:
+            st, cells = plan[d]
+            n_sub = BRICK if len(cells) > BRICK else 1
+            lo = st + xs * n_sub
+            gsub[d] = null_gather(tab[:, lo * cin:(lo + n_sub) * cin],
+                                  nbr[:, dir3_index(dx, *d)])
+        parts = []
+        for blk in _xplane_blocks(dx):
+            if blk[0] == 'x2':
+                _, lane0, ln = blk
+                lane0 -= xs * 16
+                parts.append(gx2[:, lane0 * cin:(lane0 + ln) * cin])
+            else:
+                _, d, pos, ln = blk
+                st, cells = plan[d]
+                n_sub = BRICK if len(cells) > BRICK else 1
+                local = pos - xs * n_sub if n_sub == BRICK else 0
+                parts.append(gsub[d][:, local * cin:(local + ln) * cin])
+        parts.append(zpad)
+        return jnp.concatenate(parts, axis=1)
+
+    ops = [x, gyz, xplane(-1), xplane(1)]
+    return [jax.lax.optimization_barrier(o) for o in ops]
+
+
+def _sm_xla(x, gyz, gxm, gxp, wc, wh, wx, cin: int, cout: int):
+    """Source-major banded GEMMs (the XLA form of the fused kernel)."""
+    outs = []
+    for xr in range(BRICK):
+        acc = None
+        for i in range(3):
+            cx = xr + i - 1
+            if cx == -1:
+                t = jnp.dot(gxm, wx[0])
+            elif cx == BRICK:
+                t = jnp.dot(gxp, wx[1])
+            else:
+                t = (jnp.dot(x[:, cx * OUTP * cin:(cx + 1) * OUTP * cin],
+                             wc[i])
+                     + jnp.dot(gyz[:, cx * RUN * cin:(cx + 1) * RUN * cin],
+                               wh[i]))
+            acc = t if acc is None else acc + t
+        outs.append(acc)
+    return jnp.concatenate(outs, axis=1)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def subm_conv3_2d(x2: jax.Array, occ: jax.Array, nbr: jax.Array,
                   weights: jax.Array,
@@ -329,6 +458,43 @@ def _subm_raw(x2, nbr, weights, compute_dtype):
     import os
     from . import pallas_banded
     cin, cout = weights.shape[1], weights.shape[2]
+    # DODA_SM: source-major path — GEMMs run straight on the gathered
+    # operands (no center plane-row materialization; saves one full
+    # write+read of 144C per brick per conv). 'xla' = shifted GEMMs on
+    # operand slices; '1' = fused Mosaic kernel where it fits (every
+    # operand tile read from HBM exactly once), falling back to 'xla'.
+    # Needs 128-aligned lane blocks: cin % 16, cout % 8 (the input conv
+    # with cin=3 and any odd shapes keep the rows6 path).
+    # Opt-in: measured end-to-end at 3.24 (kernel) / 3.78 (xla form) vs
+    # 4.59 scenes/sec for the default rows6 y-split path — the sm GEMM
+    # form issues 1.5x the y-split FLOPs, which loses at the MXU-bound
+    # deep levels where the operand-read savings don't matter. Kept for
+    # future occupancy-compaction work (the operand layout is what a
+    # row-skipping kernel needs).
+    sel_sm = os.environ.get('DODA_SM', '0')
+    if os.environ.get('DODA_PALLAS', '0') != '0':
+        sel_sm = '0'            # explicit first-gen kernel A/B wins
+    if sel_sm in ('1', 'xla') and cin % 16 == 0 and cout % 8 == 0:
+        from . import pallas_sm
+        kernel_ok = (
+            sel_sm == '1'
+            and pallas_sm.fits_sm(x2.shape[0], cin, cout,
+                                  jnp.dtype(compute_dtype).itemsize)
+            and (jax.default_backend() == 'tpu'
+                 or os.environ.get('DODA_SM_INTERPRET') == '1'))
+        # '1' falls back to the rows6 y-split GEMMs (below) where the
+        # kernel doesn't fit: measured DODA_SM=xla end-to-end at 3.78 vs
+        # 4.59 scenes/sec — the sm GEMM form issues 1.5x the y-split
+        # FLOPs, which loses at the MXU-bound deep levels where the
+        # operand-read savings don't matter.
+        if kernel_ok or sel_sm == 'xla':
+            x, gyz, gxm, gxp = _assemble_sm(x2, nbr, compute_dtype)
+            wc, wh, wx = sm_weights(weights, compute_dtype)
+            if kernel_ok:
+                return pallas_sm.banded_conv_sm(
+                    x, gyz, gxm, gxp, wc, wh, wx, x2.dtype)
+            return _sm_xla(x, gyz, gxm, gxp, wc, wh, wx,
+                           cin, cout).astype(x2.dtype)
     wb = banded_weights(weights.astype(compute_dtype))
     rows6 = _assemble_p6(x2, nbr, compute_dtype)
     # DODA_PALLAS: '1' enables the fused kernel on TPU, 'force' enables
