@@ -761,15 +761,24 @@ def conv1x1_2d(x2: jax.Array, occ: jax.Array, weights: jax.Array,
                compute_dtype=jnp.bfloat16) -> jax.Array:
     """Per-cell channel mix (the residual shortcut's 1x1).
 
-    Implemented as one block-diagonal GEMM (64 blocks of (cin, cout)) so
-    the activation never leaves the wide-lane layout: k = 64*cin,
-    n = 64*cout. Issues 64x the useful FLOPs, but the useful FLOPs are
-    tiny and the C-minor alternative pays 8x tile padding on 100x the
-    bytes."""
+    Implemented as a block-diagonal GEMM so the activation never leaves
+    the wide-lane layout (a C-minor (rows, C) form pays 8x tile
+    padding). The 64 cells split into the smallest row groups that keep
+    k and n >= 128 lanes: rows reshape (B, 64*cin) -> (B*64/bc, bc*cin)
+    — a contiguous row-major split — and the GEMM contracts bc-cell
+    blocks, issuing bc x the useful FLOPs instead of 64x (e.g. 8x at
+    cin = 16; measured-model saving ~18 ms over the bench forward)."""
     cin, cout = weights.shape
-    eye = jnp.eye(CELLS, dtype=compute_dtype)
+    bc = CELLS
+    for cand in (2, 4, 8, 16, 32):
+        if cand * min(cin, cout) >= 128:
+            bc = cand
+            break
+    b = x2.shape[0]
+    eye = jnp.eye(bc, dtype=compute_dtype)
     wb = (eye[:, None, :, None]
           * weights.astype(compute_dtype)[None, :, None, :])
-    wb = wb.reshape(CELLS * cin, CELLS * cout)
-    out = jnp.dot(x2.astype(compute_dtype), wb).astype(x2.dtype)
+    wb = wb.reshape(bc * cin, bc * cout)
+    rows = x2.astype(compute_dtype).reshape(b * (CELLS // bc), bc * cin)
+    out = jnp.dot(rows, wb).reshape(b, CELLS * cout).astype(x2.dtype)
     return jnp.where(_occ_rep(occ, cout), out, 0)

@@ -177,15 +177,18 @@ def test_down_up_2d_grads_match_oracle(grid):
 
 def test_conv1x1_2d(grid):
     g, nbr, rng = grid
-    cin, cout = 16, 32
-    feats = make_feats(rng, g.b_cap, cin, g.occ)
-    w = jnp.asarray(rng.normal(size=(cin, cout)).astype(np.float32))
-    want = np.asarray(jnp.einsum('bnc,co->bno', feats, w)
-                      * g.occ[..., None])
-    got = np.asarray(bricks2d.conv1x1_2d(
-        feats.reshape(g.b_cap, -1), g.occ, w, compute_dtype=jnp.float32))
-    np.testing.assert_allclose(got.reshape(want.shape), want,
-                               rtol=1e-4, atol=1e-4)
+    # channel pairs hit different block sizes (8, 4, 2 and the 64
+    # fallback for tiny channels)
+    for cin, cout in ((16, 32), (64, 32), (128, 64), (3, 16)):
+        feats = make_feats(rng, g.b_cap, cin, g.occ)
+        w = jnp.asarray(rng.normal(size=(cin, cout)).astype(np.float32))
+        want = np.asarray(jnp.einsum('bnc,co->bno', feats, w)
+                          * g.occ[..., None])
+        got = np.asarray(bricks2d.conv1x1_2d(
+            feats.reshape(g.b_cap, -1), g.occ, w,
+            compute_dtype=jnp.float32))
+        np.testing.assert_allclose(got.reshape(want.shape), want,
+                                   rtol=1e-4, atol=1e-4)
 
 
 def test_subm_conv_2d_grad_flows(grid):
