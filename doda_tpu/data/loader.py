@@ -88,13 +88,29 @@ class DataLoader:
         stop = threading.Event()
 
         def produce():
+            # item futures are submitted across batch boundaries (a
+            # window of prefetch+1 batches), so workers never idle while
+            # the current batch collates — batch-synchronous pool.map
+            # left the pool empty during every collate.
+            window = (self.prefetch + 1) * self.batch_size
             with ThreadPoolExecutor(self.num_workers) as pool:
-                for batch_idx in batches:
+                pending = []
+                flat = [int(i) for b in batches for i in b]
+                nxt = 0
+                while nxt < len(flat) or pending:
                     if stop.is_set():
                         break
-                    items = list(pool.map(self.dataset.__getitem__,
-                                          [int(i) for i in batch_idx]))
-                    q.put(self.dataset.collate_batch(items))
+                    while nxt < len(flat) and len(pending) < window:
+                        pending.append(pool.submit(
+                            self.dataset.__getitem__, flat[nxt]))
+                        nxt += 1
+                    if len(pending) >= self.batch_size:
+                        items = [f.result()
+                                 for f in pending[:self.batch_size]]
+                        del pending[:self.batch_size]
+                        q.put(self.dataset.collate_batch(items))
+                    else:
+                        break
             q.put(None)
 
         thread = threading.Thread(target=produce, daemon=True)
