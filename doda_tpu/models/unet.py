@@ -199,6 +199,17 @@ def _subm_impl() -> str:
     return sel if sel in ('oracle', 'xla', 'slab') else '2d'
 
 
+def _fuse_norm_ok(fl: FlatLevel) -> bool:
+    """Whether the norm+ReLU prologue can fuse into the subm conv
+    (DODA_FUSE_NORM=0 disables for A/B; only the wide-lane 2D engine
+    implements the fused path)."""
+    import os
+    if os.environ.get('DODA_FUSE_NORM', '1') == '0':
+        return False
+    impl = _subm_impl()
+    return impl == '2d' or (impl == 'slab' and fl.slab is None)
+
+
 def _fsubm(x2, fl: FlatLevel, w, dtype):
     impl = _subm_impl()
     if impl == 'slab' and fl.slab is not None:
@@ -242,16 +253,25 @@ class ResidualBlock(nn.Module):
         else:
             wi = self.param('i_kernel', _conv_init, (self.cin, self.cout))
             identity = bricks2d.conv1x1_2d(x, occ, wi, self.dtype)
-        h = MaskedBatchNorm(self.cin, dsnorm=self.dsnorm)(x, occ, train,
-                                                          domain)
-        h = nn.relu(h)
+        fused = _fuse_norm_ok(fl)
+        norm1 = MaskedBatchNorm(self.cin, dsnorm=self.dsnorm)
         w1 = self.param('kernel1', _conv_init, (27, self.cin, self.cout))
-        h = _fsubm(h, fl, w1, self.dtype)
-        h = MaskedBatchNorm(self.cout, dsnorm=self.dsnorm)(h, occ, train,
-                                                           domain)
-        h = nn.relu(h)
+        if fused:
+            s1, b1 = norm1(x, occ, train, domain, fold=True)
+            h = bricks2d.subm_conv3_norm_2d(x, occ, nbr, w1, s1, b1,
+                                            self.dtype)
+        else:
+            h = nn.relu(norm1(x, occ, train, domain))
+            h = _fsubm(h, fl, w1, self.dtype)
+        norm2 = MaskedBatchNorm(self.cout, dsnorm=self.dsnorm)
         w2 = self.param('kernel2', _conv_init, (27, self.cout, self.cout))
-        h = _fsubm(h, fl, w2, self.dtype)
+        if fused:
+            s2, b2 = norm2(h, occ, train, domain, fold=True)
+            h = bricks2d.subm_conv3_norm_2d(h, occ, nbr, w2, s2, b2,
+                                            self.dtype)
+        else:
+            h = nn.relu(norm2(h, occ, train, domain))
+            h = _fsubm(h, fl, w2, self.dtype)
         return h + identity
 
 
@@ -265,11 +285,15 @@ class VGGBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, occ, nbr, train, domain):
-        h = MaskedBatchNorm(self.cin, dsnorm=self.dsnorm)(x, occ, train,
-                                                          domain)
-        h = nn.relu(h)
+        fl = FlatLevel(occ=occ, nbr=nbr)
+        norm = MaskedBatchNorm(self.cin, dsnorm=self.dsnorm)
         w = self.param('kernel', _conv_init, (27, self.cin, self.cout))
-        return _fsubm(h, FlatLevel(occ=occ, nbr=nbr), w, self.dtype)
+        if _fuse_norm_ok(fl):
+            s, b = norm(x, occ, train, domain, fold=True)
+            return bricks2d.subm_conv3_norm_2d(x, occ, nbr, w, s, b,
+                                               self.dtype)
+        h = nn.relu(norm(x, occ, train, domain))
+        return _fsubm(h, fl, w, self.dtype)
 
 
 class UBlock(nn.Module):

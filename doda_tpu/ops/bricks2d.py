@@ -89,16 +89,56 @@ def _runs(cells):
     return runs
 
 
-def extract_tab_yz(x2: jax.Array, cin: int) -> jax.Array:
+class LaneReader:
+    """Cell-aligned lane-slice reads of x2 with an optional fused
+    norm+ReLU prologue.
+
+    With ``pro = (scale, bias, occ)`` every read returns
+    ``where(occ_cells, relu(x*scale + bias), 0)`` computed inline — the
+    elementwise math fuses into each consumer's emission (concat/gather)
+    instead of materializing the normalized activation, saving a full
+    (rows, 64C) write + read per conv. scale/bias are per-channel (C,);
+    occ is the (rows, 64) cell mask (masking is load-bearing: bias > 0
+    would otherwise light up inactive cells through relu)."""
+
+    def __init__(self, x2, cin, compute_dtype, pro=None):
+        self.x = x2.astype(compute_dtype)
+        self.cin = cin
+        if pro is None:
+            self.pro = None
+        else:
+            scale, bias, occ = pro
+            self.st = jnp.tile(scale, CELLS).astype(compute_dtype)
+            self.bt = jnp.tile(bias, CELLS).astype(compute_dtype)
+            self.occ = occ
+            self.pro = True
+
+    def read(self, c0: int, ln: int) -> jax.Array:
+        cin = self.cin
+        part = self.x[:, c0 * cin:(c0 + ln) * cin]
+        if self.pro is None:
+            return part
+        y = jnp.maximum(part * self.st[c0 * cin:(c0 + ln) * cin]
+                        + self.bt[c0 * cin:(c0 + ln) * cin], 0)
+        m = jnp.repeat(self.occ[:, c0:c0 + ln], cin, axis=1)
+        return jnp.where(m, y, 0)
+
+    def full(self) -> jax.Array:
+        return self.read(0, CELLS)
+
+
+def extract_tab_yz(x2, cin: int) -> jax.Array:
     """(B, 64C) -> (B, 80C) boundary cells facing the 8 (dy,dz) dirs.
 
-    Pure lane-slice concat (56 runs) — one fused pass."""
+    Pure lane-slice concat (56 runs) — one fused pass. ``x2`` may be a
+    LaneReader (prologue applied per run)."""
+    rd = x2 if isinstance(x2, LaneReader) else LaneReader(x2, cin, x2.dtype)
     plan, total = _yz_piece_plan()
     parts = []
     for dy, dz in _OFFS2:
         _, cells = plan[(dy, dz)]
         for c0, ln in _runs(cells):
-            parts.append(x2[:, c0 * cin:(c0 + ln) * cin])
+            parts.append(rd.read(c0, ln))
     return jnp.concatenate(parts, axis=1)
 
 
@@ -213,12 +253,15 @@ def _occ_rep(occ: jax.Array, cout: int) -> jax.Array:
 
 
 def _assemble_p6(x2: jax.Array, nbr: jax.Array,
-                 compute_dtype) -> jax.Array:
+                 compute_dtype, pro=None) -> jax.Array:
     """Halo-plane assembly: (B, 64*cin) -> list of 6 (B, 36*cin) rows
-    [x=-1 plane, 4 in-brick planes, x=+4 plane] for the shifted GEMMs."""
+    [x=-1 plane, 4 in-brick planes, x=+4 plane] for the shifted GEMMs.
+
+    ``pro``: optional (scale, bias, occ) norm+ReLU prologue applied on
+    every read of x2 (see LaneReader)."""
     b, lanes = x2.shape
     cin = lanes // CELLS
-    x = x2.astype(compute_dtype)
+    rd = LaneReader(x2, cin, compute_dtype, pro)
 
     # null handling everywhere is clamp + where, NOT a padded copy:
     # jnp.pad of a (B, wC) table copies the whole table to add one zero
@@ -227,7 +270,7 @@ def _assemble_p6(x2: jax.Array, nbr: jax.Array,
         g = table[jnp.minimum(idx, b - 1)]
         return jnp.where((idx < b)[:, None], g, 0)
 
-    tab = extract_tab_yz(x, cin)                # (B, 80*cin)
+    tab = extract_tab_yz(rd, cin)               # (B, 80*cin)
     plan, _ = _yz_piece_plan()
     gathered = {}
     for d in _OFFS2:
@@ -240,8 +283,10 @@ def _assemble_p6(x2: jax.Array, nbr: jax.Array,
     for blocks in _plane_blocks():
         parts = []
         for kind, d, lane0, ln in blocks:
-            src = x if kind == 'center' else gathered[d]
-            parts.append(src[:, lane0 * cin:(lane0 + ln) * cin])
+            if kind == 'center':
+                parts.append(rd.read(lane0, ln))
+            else:
+                parts.append(gathered[d][:, lane0 * cin:(lane0 + ln) * cin])
         rows.append(jnp.concatenate(parts, axis=1))
 
     # x-/x+ halo planes: exact 9-source assembly per plane (the face
@@ -250,9 +295,7 @@ def _assemble_p6(x2: jax.Array, nbr: jax.Array,
     plane_sq, _ = _yz_piece_plan()
 
     def xplane(dx):
-        gx2 = null_gather(x[:, (BRICK - 1 if dx == -1 else 0) * 16 * cin:
-                            ((BRICK - 1 if dx == -1 else 0) * 16 + 16)
-                            * cin],
+        gx2 = null_gather(rd.read((BRICK - 1 if dx == -1 else 0) * 16, 16),
                           nbr[:, dir3_index(dx, 0, 0)])
         gsub = {}
         for d in _OFFS2:
@@ -443,9 +486,10 @@ def subm_conv3_2d(x2: jax.Array, occ: jax.Array, nbr: jax.Array,
     return jnp.where(_occ_rep(occ, weights.shape[2]), out, 0)
 
 
-def _subm_raw(x2, nbr, weights, compute_dtype):
+def _subm_raw(x2, nbr, weights, compute_dtype, pro=None):
     """Assembly + banded conv, unmasked (dx in the VJP must keep the
     inactive-cell gradient — upstream masked producers zero it).
+    ``pro``: optional fused norm+ReLU prologue (see LaneReader).
 
     The conv runs as 12 shifted GEMMs over the 6 halo-plane rows
     (out_x = sum_j rows[x+j] @ wb[j]) instead of materializing the
@@ -474,6 +518,12 @@ def _subm_raw(x2, nbr, weights, compute_dtype):
     sel_sm = os.environ.get('DODA_SM', '0')
     if os.environ.get('DODA_PALLAS', '0') != '0':
         sel_sm = '0'            # explicit first-gen kernel A/B wins
+    if pro is not None and (sel_sm in ('1', 'xla')
+                            or os.environ.get('DODA_PALLAS', '0') != '0'):
+        # alternate engines take a materialized activation: apply the
+        # prologue once up front (same traffic as the unfused path)
+        x2 = LaneReader(x2, cin, compute_dtype, pro).full()
+        pro = None
     if sel_sm in ('1', 'xla') and cin % 16 == 0 and cout % 8 == 0:
         from . import pallas_sm
         kernel_ok = (
@@ -496,7 +546,7 @@ def _subm_raw(x2, nbr, weights, compute_dtype):
             return _sm_xla(x, gyz, gxm, gxp, wc, wh, wx,
                            cin, cout).astype(x2.dtype)
     wb = banded_weights(weights.astype(compute_dtype))
-    rows6 = _assemble_p6(x2, nbr, compute_dtype)
+    rows6 = _assemble_p6(x2, nbr, compute_dtype, pro)
     # DODA_PALLAS: '1' enables the fused kernel on TPU, 'force' enables
     # it off-TPU (interpret mode, for tests). Default OFF: standalone
     # the kernel matches the XLA GEMMs (10.2 vs 10.5 ms at the L0 bench
@@ -562,6 +612,72 @@ def _subm2d_bwd(compute_dtype, res, g):
 subm_conv3_2d.defvjp(_subm2d_fwd, _subm2d_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def subm_conv3_norm_2d(x2: jax.Array, occ: jax.Array, nbr: jax.Array,
+                       weights: jax.Array, scale: jax.Array,
+                       bias: jax.Array,
+                       compute_dtype=jnp.bfloat16) -> jax.Array:
+    """SubM conv with a fused norm+ReLU prologue.
+
+    Semantically ``subm_conv3_2d(where(occ, relu(x*scale + bias), 0))``
+    with per-channel (C,) scale/bias (a folded pre-activation batch norm,
+    ref model/unet_block.py:16-24), but the normalized activation is
+    never materialized: the affine+relu+mask is computed inline on every
+    lane-slice read during halo assembly, fusing into the concat/gather
+    emissions (saves one full (rows, 64C) write + read per conv).
+
+    Custom VJP: dh is the transpose-stencil conv of the cotangent; the
+    prologue backward (dx = dh * scale * relu' * occ and the per-channel
+    dscale/dbias reductions) is one fused elementwise+reduce pass; dW
+    contracts re-assembled prologue windows against the cotangent —
+    gathers and GEMMs only, as in subm_conv3_2d.
+    """
+    pro = (scale, bias, occ)
+    out = _subm_raw(x2, nbr, weights, compute_dtype, pro)
+    return jnp.where(_occ_rep(occ, weights.shape[2]), out, 0)
+
+
+def _subm_norm_fwd(x2, occ, nbr, weights, scale, bias, compute_dtype):
+    return (subm_conv3_norm_2d(x2, occ, nbr, weights, scale, bias,
+                               compute_dtype),
+            (x2, occ, nbr, weights, scale, bias))
+
+
+def _subm_norm_bwd(compute_dtype, res, g):
+    x2, occ, nbr, weights, scale, bias = res
+    b = x2.shape[0]
+    cin, cout = weights.shape[1], weights.shape[2]
+    g = jnp.where(_occ_rep(occ, cout), g, 0)
+    # cotangent w.r.t. the (implicit) normalized activation h
+    dh = _subm_raw(g, nbr, _flip_weights(weights), compute_dtype)
+    # prologue backward in one fused pass
+    st = jnp.tile(scale, CELLS).astype(compute_dtype)
+    bt = jnp.tile(bias, CELLS).astype(compute_dtype)
+    xc = x2.astype(compute_dtype)
+    live = ((xc * st + bt > 0) & _occ_rep(occ, cin))
+    dh_live = jnp.where(live, dh.astype(jnp.float32), 0.0)
+    dx = (dh_live * st.astype(jnp.float32)).astype(x2.dtype)
+    dscale = (dh_live * xc.astype(jnp.float32)).reshape(
+        b, CELLS, cin).sum((0, 1))
+    dbias = dh_live.reshape(b, CELLS, cin).sum((0, 1))
+    # dW: re-assemble the prologue windows, contract against g
+    rows6 = _assemble_p6(x2, nbr, compute_dtype, (scale, bias, occ))
+    g4 = g.reshape(b, BRICK, OUTP * cout).astype(compute_dtype)
+    dwb = jnp.stack([
+        sum(jnp.einsum('bk,bn->kn', rows6[i + x], g4[:, x],
+                       preferred_element_type=jnp.float32)
+            for x in range(BRICK))
+        for i in range(3)])
+    m = jnp.asarray(_band_np(cin, cout), jnp.float32)
+    d5 = dwb.reshape(3, PLANE, cin, OUTP, cout)
+    dw = jnp.einsum('pqrk,pqiro->kio', m, d5)
+    return (dx, None, None, dw.astype(weights.dtype),
+            dscale.astype(scale.dtype), dbias.astype(bias.dtype))
+
+
+subm_conv3_norm_2d.defvjp(_subm_norm_fwd, _subm_norm_bwd)
+
+
 # ---------------------------------------------------------------------------
 # stride-2 down / up sampling (k=2, s=2), octant-major lane permutes
 # ---------------------------------------------------------------------------
@@ -600,9 +716,11 @@ def _ow_cells():
     return tuple(out)
 
 
-def _lane_permute(x2: jax.Array, cells, cin: int) -> jax.Array:
-    """Reorder the 64 cell blocks of (B, 64C) lanes — slice concat."""
-    parts = [x2[:, c0 * cin:(c0 + ln) * cin] for c0, ln in _runs_keep(cells)]
+def _lane_permute(x2, cells, cin: int) -> jax.Array:
+    """Reorder the 64 cell blocks of (B, 64C) lanes — slice concat.
+    ``x2`` may be a LaneReader (norm+ReLU prologue applied per run)."""
+    rd = x2 if isinstance(x2, LaneReader) else LaneReader(x2, cin, x2.dtype)
+    parts = [rd.read(c0, ln) for c0, ln in _runs_keep(cells)]
     return jnp.concatenate(parts, axis=1)
 
 

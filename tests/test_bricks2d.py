@@ -214,3 +214,62 @@ def test_subm_conv_2d_grad_flows(grid):
                                np.asarray(gx3), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gw2), np.asarray(gw3),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_subm_conv3_norm_2d_matches_explicit(grid):
+    """Fused norm+ReLU prologue == explicit mask(relu(x*s+b)) then conv,
+    forward and gradients (x, W, scale, bias)."""
+    g, nbr, rng = grid
+    cin, cout = 16, 16
+    # raw (un-normalized) input: NOT pre-masked — the prologue must mask
+    f = jnp.asarray(rng.normal(size=(g.b_cap, bricks.CELLS * cin))
+                    .astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(27, cin, cout)).astype(np.float32)
+                    * 0.1)
+    scale = jnp.asarray(rng.normal(size=(cin,)).astype(np.float32) + 1.0)
+    bias = jnp.asarray(rng.normal(size=(cin,)).astype(np.float32) * 0.3)
+
+    def explicit(f, w, s, b):
+        st = jnp.tile(s, bricks.CELLS)
+        bt = jnp.tile(b, bricks.CELLS)
+        h = jnp.where(jnp.repeat(g.occ, cin, axis=1),
+                      jnp.maximum(f * st + bt, 0), 0)
+        return bricks2d.subm_conv3_2d(h, g.occ, nbr, w,
+                                      compute_dtype=jnp.float32)
+
+    def fused(f, w, s, b):
+        return bricks2d.subm_conv3_norm_2d(f, g.occ, nbr, w, s, b,
+                                           compute_dtype=jnp.float32)
+
+    want = np.asarray(explicit(f, w, scale, bias))
+    got = np.asarray(fused(f, w, scale, bias))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def loss(fn):
+        return lambda *a: (fn(*a) ** 2).sum()
+
+    ge = jax.grad(loss(explicit), argnums=(0, 1, 2, 3))(f, w, scale, bias)
+    gf = jax.grad(loss(fused), argnums=(0, 1, 2, 3))(f, w, scale, bias)
+    for a, b_ in zip(ge, gf):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_subm_conv3_norm_2d_sparse(sparse_grid):
+    """Prologue path on the sparse fixture (missing face neighbors)."""
+    g, nbr, rng = sparse_grid
+    cin = cout = 8
+    f = jnp.asarray(rng.normal(size=(g.b_cap, bricks.CELLS * cin))
+                    .astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(27, cin, cout)).astype(np.float32)
+                    * 0.1)
+    scale = jnp.ones((cin,), jnp.float32) * 0.7
+    bias = jnp.ones((cin,), jnp.float32) * 0.1
+    st, bt = jnp.tile(scale, bricks.CELLS), jnp.tile(bias, bricks.CELLS)
+    h = jnp.where(jnp.repeat(g.occ, cin, axis=1),
+                  jnp.maximum(f * st + bt, 0), 0)
+    want = np.asarray(bricks2d.subm_conv3_2d(
+        h, g.occ, nbr, w, compute_dtype=jnp.float32))
+    got = np.asarray(bricks2d.subm_conv3_norm_2d(
+        f, g.occ, nbr, w, scale, bias, compute_dtype=jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
