@@ -324,23 +324,33 @@ class UBlock(nn.Module):
         identity = x
 
         fd = downs[level]
-        h = MaskedBatchNorm(p, dsnorm=self.dsnorm, name='conv_norm')(
-            x, occ, train, domain)
-        h = nn.relu(h)
+        fused = _fuse_norm_ok(levels[level])
+        occ_p = levels[level + 1].occ
+        conv_norm = MaskedBatchNorm(p, dsnorm=self.dsnorm,
+                                    name='conv_norm')
         wd = self.param('down_kernel', _conv_init, (8, p, self.planes[1]))
-        h = bricks2d.down_conv2_2d(h, levels[level + 1].occ, fd, wd,
-                                   self.dtype)
+        if fused:
+            s, b = conv_norm(x, occ, train, domain, fold=True)
+            h = bricks2d.down_conv2_norm_2d(x, occ, occ_p, fd, wd, s, b,
+                                            self.dtype)
+        else:
+            h = nn.relu(conv_norm(x, occ, train, domain))
+            h = bricks2d.down_conv2_2d(h, occ_p, fd, wd, self.dtype)
 
         h = UBlock(self.planes[1:], self.block_reps, self.residual,
                    self.dsnorm, self.dtype, name='u')(
             h, levels, downs, level + 1, train, domain)
 
-        h = MaskedBatchNorm(self.planes[1], dsnorm=self.dsnorm,
-                            name='deconv_norm')(h, levels[level + 1].occ,
-                                                train, domain)
-        h = nn.relu(h)
+        deconv_norm = MaskedBatchNorm(self.planes[1], dsnorm=self.dsnorm,
+                                      name='deconv_norm')
         wu = self.param('up_kernel', _conv_init, (8, self.planes[1], p))
-        h = bricks2d.up_conv2_2d(h, occ, fd, wu, self.dtype)
+        if fused:
+            s, b = deconv_norm(h, occ_p, train, domain, fold=True)
+            h = bricks2d.up_conv2_norm_2d(h, occ_p, occ, fd, wu, s, b,
+                                          self.dtype)
+        else:
+            h = nn.relu(deconv_norm(h, occ_p, train, domain))
+            h = bricks2d.up_conv2_2d(h, occ, fd, wu, self.dtype)
 
         x = _concat_channels(identity, h, p, p)   # skip-concat (2p)
         for i in range(self.block_reps):

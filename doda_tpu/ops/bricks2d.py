@@ -818,6 +818,72 @@ def _down2d_bwd(compute_dtype, res, g):
 down_conv2_2d.defvjp(_down2d_fwd, _down2d_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def down_conv2_norm_2d(x2: jax.Array, occ_c: jax.Array, occ_p: jax.Array,
+                       down, weights: jax.Array, scale: jax.Array,
+                       bias: jax.Array,
+                       compute_dtype=jnp.bfloat16) -> jax.Array:
+    """down_conv2_2d with the fused norm+ReLU prologue on the child
+    input (see subm_conv3_norm_2d): the affine+relu+occ_c mask computes
+    inline in the window permute's slice reads. occ_c is the child cell
+    mask, occ_p the parent output mask."""
+    b, lanes = x2.shape
+    cin = lanes // CELLS
+    cout = weights.shape[-1]
+    rd = LaneReader(x2, cin, compute_dtype, (scale, bias, occ_c))
+    x = _lane_permute(rd, _wo_cells(), cin)
+    rows = x.reshape(b * WINDOWS, 8 * cin)
+    w = weights.reshape(8 * cin, cout).astype(compute_dtype)
+    child_out = jnp.dot(rows, w).reshape(b, WINDOWS * cout)
+    pow_ = _children_gather(child_out, down.parent_children, b)
+    p_raster = _lane_permute(pow_, _inv(_ow_cells()), cout)
+    return jnp.where(_occ_rep(occ_p, cout), p_raster.astype(x2.dtype), 0)
+
+
+def _downn_fwd(x2, occ_c, occ_p, down, weights, scale, bias,
+               compute_dtype):
+    return (down_conv2_norm_2d(x2, occ_c, occ_p, down, weights, scale,
+                               bias, compute_dtype),
+            (x2, occ_c, occ_p, down, weights, scale, bias))
+
+
+def _downn_bwd(compute_dtype, res, g):
+    x2, occ_c, occ_p, down, weights, scale, bias = res
+    b, lanes = x2.shape
+    cin = lanes // CELLS
+    cout = weights.shape[-1]
+    g = jnp.where(_occ_rep(occ_p, cout), g, 0).astype(compute_dtype)
+    g_ow = _lane_permute(g, _ow_cells(), cout)
+    g_child = _octant_gather(g_ow, down.child_parent, down.parity,
+                             WINDOWS * cout)
+    gc_rows = g_child.reshape(b * WINDOWS, cout)
+    w = weights.reshape(8 * cin, cout).astype(compute_dtype)
+    dh_rows = jnp.dot(gc_rows, w.T)                # (B*8, 8cin)
+    dh_wo = dh_rows.reshape(b, CELLS * cin)
+    dh = _lane_permute(dh_wo, _inv(_wo_cells()), cin)
+    # prologue backward (one fused pass)
+    st = jnp.tile(scale, CELLS).astype(compute_dtype)
+    bt = jnp.tile(bias, CELLS).astype(compute_dtype)
+    xc = x2.astype(compute_dtype)
+    live = ((xc * st + bt > 0) & _occ_rep(occ_c, cin))
+    dh_live = jnp.where(live, dh.astype(jnp.float32), 0.0)
+    dx = (dh_live * st.astype(jnp.float32)).astype(x2.dtype)
+    dscale = (dh_live * xc.astype(jnp.float32)).reshape(
+        b, CELLS, cin).sum((0, 1))
+    dbias = dh_live.reshape(b, CELLS, cin).sum((0, 1))
+    rd = LaneReader(x2, cin, compute_dtype, (scale, bias, occ_c))
+    x = _lane_permute(rd, _wo_cells(), cin)
+    rows = x.reshape(b * WINDOWS, 8 * cin)
+    dw = jnp.einsum('bk,bn->kn', rows, gc_rows,
+                    preferred_element_type=jnp.float32)
+    return (dx, None, None, None,
+            dw.reshape(8, cin, cout).astype(weights.dtype),
+            dscale.astype(scale.dtype), dbias.astype(bias.dtype))
+
+
+down_conv2_norm_2d.defvjp(_downn_fwd, _downn_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def up_conv2_2d(p2: jax.Array, occ_c: jax.Array, down,
                 weights: jax.Array,
@@ -873,6 +939,74 @@ def _up2d_bwd(compute_dtype, res, g):
 
 
 up_conv2_2d.defvjp(_up2d_fwd, _up2d_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def up_conv2_norm_2d(p2: jax.Array, occ_p: jax.Array, occ_c: jax.Array,
+                     down, weights: jax.Array, scale: jax.Array,
+                     bias: jax.Array,
+                     compute_dtype=jnp.bfloat16) -> jax.Array:
+    """up_conv2_2d with the fused norm+ReLU prologue on the parent
+    input. occ_p is the parent cell mask, occ_c the child output mask."""
+    p, lanes = p2.shape
+    cin = lanes // CELLS
+    cout = weights.shape[-1]
+    b = down.child_parent.shape[0]
+    rd = LaneReader(p2, cin, compute_dtype, (scale, bias, occ_p))
+    par_ow = _lane_permute(rd, _ow_cells(), cin)
+    corner = _octant_gather(par_ow, down.child_parent, down.parity,
+                            WINDOWS * cin)
+    rows = corner.reshape(b * WINDOWS, cin)
+    w = jnp.transpose(weights, (1, 0, 2)).reshape(
+        cin, 8 * cout).astype(compute_dtype)
+    out8 = jnp.dot(rows, w).reshape(b, WINDOWS * 8 * cout)
+    out = _lane_permute(out8, _inv(_wo_cells()), cout).astype(p2.dtype)
+    return jnp.where(_occ_rep(occ_c, cout), out, 0)
+
+
+def _upn_fwd(p2, occ_p, occ_c, down, weights, scale, bias, compute_dtype):
+    return (up_conv2_norm_2d(p2, occ_p, occ_c, down, weights, scale,
+                             bias, compute_dtype),
+            (p2, occ_p, occ_c, down, weights, scale, bias))
+
+
+def _upn_bwd(compute_dtype, res, g):
+    p2, occ_p, occ_c, down, weights, scale, bias = res
+    p, lanes = p2.shape
+    cin = lanes // CELLS
+    cout = weights.shape[-1]
+    b = down.child_parent.shape[0]
+    g = jnp.where(_occ_rep(occ_c, cout), g, 0).astype(compute_dtype)
+    g_wo = _lane_permute(g, _wo_cells(), cout)
+    g_rows = g_wo.reshape(b * WINDOWS, 8 * cout)
+    w = jnp.transpose(weights, (1, 0, 2)).reshape(
+        cin, 8 * cout).astype(compute_dtype)
+    dcorner = jnp.dot(g_rows, w.T)
+    dcorner = dcorner.reshape(b, WINDOWS * cin)
+    dp_ow = _children_gather(dcorner, down.parent_children, b)
+    dh = _lane_permute(dp_ow, _inv(_ow_cells()), cin)
+    # prologue backward
+    st = jnp.tile(scale, CELLS).astype(compute_dtype)
+    bt = jnp.tile(bias, CELLS).astype(compute_dtype)
+    pc = p2.astype(compute_dtype)
+    live = ((pc * st + bt > 0) & _occ_rep(occ_p, cin))
+    dh_live = jnp.where(live, dh.astype(jnp.float32), 0.0)
+    dp = (dh_live * st.astype(jnp.float32)).astype(p2.dtype)
+    dscale = (dh_live * pc.astype(jnp.float32)).reshape(
+        p, CELLS, cin).sum((0, 1))
+    dbias = dh_live.reshape(p, CELLS, cin).sum((0, 1))
+    rd = LaneReader(p2, cin, compute_dtype, (scale, bias, occ_p))
+    par_ow = _lane_permute(rd, _ow_cells(), cin)
+    corner = _octant_gather(par_ow, down.child_parent, down.parity,
+                            WINDOWS * cin)
+    dw8 = jnp.einsum('bk,bn->kn', corner.reshape(b * WINDOWS, cin),
+                     g_rows, preferred_element_type=jnp.float32)
+    dw = jnp.transpose(dw8.reshape(cin, 8, cout), (1, 0, 2))
+    return (dp, None, None, None, dw.astype(weights.dtype),
+            dscale.astype(scale.dtype), dbias.astype(bias.dtype))
+
+
+up_conv2_norm_2d.defvjp(_upn_fwd, _upn_bwd)
 
 
 def conv1x1_2d(x2: jax.Array, occ: jax.Array, weights: jax.Array,

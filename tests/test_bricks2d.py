@@ -273,3 +273,68 @@ def test_subm_conv3_norm_2d_sparse(sparse_grid):
     got = np.asarray(bricks2d.subm_conv3_norm_2d(
         f, g.occ, nbr, w, scale, bias, compute_dtype=jnp.float32))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_down_up_norm_2d_match_explicit(grid):
+    """Fused norm+ReLU prologue on down/up == explicit composition,
+    forward and gradients."""
+    g, nbr, rng = grid
+    ds = bricks.build_brick_downsample(g.table, g.occ, 256)
+    dm = _down_maps(ds)
+    cin, cout = 16, 8
+    f = jnp.asarray(rng.normal(size=(g.b_cap, bricks.CELLS * cin))
+                    .astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(8, cin, cout)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(cin,)).astype(np.float32) + 1.0)
+    bias = jnp.asarray(rng.normal(size=(cin,)).astype(np.float32) * 0.3)
+    def relu_mask(x, occ, s, b):
+        st, bt = jnp.tile(s, bricks.CELLS), jnp.tile(b, bricks.CELLS)
+        return jnp.where(jnp.repeat(occ, cin, axis=1),
+                         jnp.maximum(x * st + bt, 0), 0)
+
+    def explicit_down(f, w, s, b):
+        return bricks2d.down_conv2_2d(relu_mask(f, g.occ, s, b),
+                                      ds.parent_occ,
+                                      dm, w, compute_dtype=jnp.float32)
+
+    def fused_down(f, w, s, b):
+        return bricks2d.down_conv2_norm_2d(
+            f, g.occ, ds.parent_occ, dm, w, s, b,
+            compute_dtype=jnp.float32)
+
+    np.testing.assert_allclose(
+        np.asarray(fused_down(f, w, scale, bias)),
+        np.asarray(explicit_down(f, w, scale, bias)),
+        rtol=1e-5, atol=1e-5)
+    ge = jax.grad(lambda *a: (explicit_down(*a) ** 2).sum(),
+                  argnums=(0, 1, 2, 3))(f, w, scale, bias)
+    gf = jax.grad(lambda *a: (fused_down(*a) ** 2).sum(),
+                  argnums=(0, 1, 2, 3))(f, w, scale, bias)
+    for a, b_ in zip(ge, gf):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4)
+
+    pf = jnp.asarray(rng.normal(size=(256, bricks.CELLS * cin))
+                     .astype(np.float32))
+
+    def explicit_up(p, w, s, b):
+        return bricks2d.up_conv2_2d(relu_mask(p, ds.parent_occ, s, b),
+                                    g.occ, dm, w,
+                                    compute_dtype=jnp.float32)
+
+    def fused_up(p, w, s, b):
+        return bricks2d.up_conv2_norm_2d(
+            p, ds.parent_occ, g.occ, dm, w, s, b,
+            compute_dtype=jnp.float32)
+
+    np.testing.assert_allclose(
+        np.asarray(fused_up(pf, w, scale, bias)),
+        np.asarray(explicit_up(pf, w, scale, bias)),
+        rtol=1e-5, atol=1e-5)
+    ge = jax.grad(lambda *a: (explicit_up(*a) ** 2).sum(),
+                  argnums=(0, 1, 2, 3))(pf, w, scale, bias)
+    gf = jax.grad(lambda *a: (fused_up(*a) ** 2).sum(),
+                  argnums=(0, 1, 2, 3))(pf, w, scale, bias)
+    for a, b_ in zip(ge, gf):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4)
