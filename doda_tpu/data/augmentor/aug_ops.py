@@ -65,6 +65,14 @@ def elastic(xyz, gran, mag, rng):
             noise = [scipy.ndimage.uniform_filter1d(
                 n, size=3, axis=axis, mode='constant', cval=0)
                 for n in noise]
+    # native fused lookup (~10x the NumPy 8-corner gather loop, which
+    # was the hottest host-pipeline stage at ~0.3 s / 150k-pt scene)
+    from ...native import host_ops
+    out = host_ops.elastic_interp(
+        np.stack([n.reshape(-1) for n in noise]), dims, float(gran),
+        float(mag), xyz)
+    if out is not None:
+        return out
     offset = _trilinear_regular(noise, dims, gran, xyz)
     return xyz + offset * mag
 

@@ -45,6 +45,14 @@ def _load():
     lib.connected_components.restype = None
     lib.connected_components.argtypes = [f32p, i32p, ctypes.c_int64,
                                          ctypes.c_float, i32p]
+    f64p = ctypes.POINTER(ctypes.c_double)
+    try:
+        lib.elastic_offsets.restype = None
+        lib.elastic_offsets.argtypes = [f32p, i32p, ctypes.c_double,
+                                        ctypes.c_double, f64p,
+                                        ctypes.c_int64, f64p]
+    except AttributeError:
+        pass  # stale .so without the symbol: callers fall back
     _LIB = lib
     return lib
 
@@ -112,6 +120,28 @@ def nn1(src: np.ndarray, queries: np.ndarray, cell: float = 0.1):
     i32p = ctypes.POINTER(ctypes.c_int32)
     lib.nn1_grid(_ptr(src, f32p), len(src), _ptr(queries, f32p),
                  len(queries), ctypes.c_float(cell), _ptr(out, i32p))
+    return out
+
+
+def elastic_interp(noise3: np.ndarray, dims, gran: float, mag: float,
+                   xyz: np.ndarray):
+    """xyz + trilinear(noise3, xyz) * mag — the elastic-distortion
+    lookup (host twin of aug_ops._trilinear_regular). Returns None when
+    the native lib (or the symbol) is unavailable; the caller keeps its
+    NumPy path."""
+    lib = _load()
+    if lib is None or not hasattr(lib, 'elastic_offsets'):
+        return None
+    noise3 = np.ascontiguousarray(noise3, np.float32)
+    dims_a = np.ascontiguousarray(dims, np.int32)
+    xyz64 = np.ascontiguousarray(xyz, np.float64)
+    out = np.empty_like(xyz64)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.elastic_offsets(_ptr(noise3, f32p), _ptr(dims_a, i32p),
+                        ctypes.c_double(gran), ctypes.c_double(mag),
+                        _ptr(xyz64, f64p), len(xyz64), _ptr(out, f64p))
     return out
 
 

@@ -204,4 +204,62 @@ void connected_components(const float* xyz, const int32_t* key, int64_t n,
   }
 }
 
+// Trilinear interpolation of 3 noise fields for elastic distortion
+// (the host twin of data/augmentor/aug_ops._trilinear_regular; ref
+// augmentor_utils.py:61-80). The NumPy form materializes eight (3, N)
+// gathered corner arrays per call and was the input pipeline's hottest
+// loop (~0.3 s per 150k-point scene); this fused walk runs ~10x faster.
+//
+// noise: (3, dims[0]*dims[1]*dims[2]) f32, C-order per field
+// xyz:   (n, 3) f64 point coords (voxel units)
+// out:   (n, 3) f64 <- xyz + offset * mag; out-of-grid points copy xyz
+void elastic_offsets(const float* noise, const int32_t* dims, double gran,
+                     double mag, const double* xyz, int64_t n,
+                     double* out) {
+  const int64_t dx_ = dims[0], dy_ = dims[1], dz_ = dims[2];
+  const int64_t cells = dx_ * dy_ * dz_;
+  const int64_t sy = dy_ * dz_, sz = dz_;
+  const float* n0 = noise;
+  const float* n1 = noise + cells;
+  const float* n2 = noise + 2 * cells;
+  const double inv = 1.0 / (2.0 * gran);
+  for (int64_t i = 0; i < n; ++i) {
+    double u[3], f[3];
+    int64_t i0[3];
+    bool oob = false;
+    for (int a = 0; a < 3; ++a) {
+      const int64_t d = dims[a];
+      u[a] = (xyz[3 * i + a] + (d - 1) * gran) * inv;
+      if (u[a] < 0.0 || u[a] > (double)(d - 1)) oob = true;
+      int64_t lo = (int64_t)std::floor(u[a]);
+      if (lo < 0) lo = 0;
+      if (lo > d - 2) lo = d - 2;
+      i0[a] = lo;
+      f[a] = u[a] - (double)lo;
+    }
+    if (oob) {
+      out[3 * i] = xyz[3 * i];
+      out[3 * i + 1] = xyz[3 * i + 1];
+      out[3 * i + 2] = xyz[3 * i + 2];
+      continue;
+    }
+    const int64_t base = i0[0] * sy + i0[1] * sz + i0[2];
+    const double w0x = 1.0 - f[0], w0y = 1.0 - f[1], w0z = 1.0 - f[2];
+    double acc0 = 0.0, acc1 = 0.0, acc2 = 0.0;
+    for (int cx = 0; cx < 2; ++cx)
+      for (int cy = 0; cy < 2; ++cy)
+        for (int cz = 0; cz < 2; ++cz) {
+          const double w = (cx ? f[0] : w0x) * (cy ? f[1] : w0y)
+              * (cz ? f[2] : w0z);
+          const int64_t idx = base + cx * sy + cy * sz + cz;
+          acc0 += w * (double)n0[idx];
+          acc1 += w * (double)n1[idx];
+          acc2 += w * (double)n2[idx];
+        }
+    out[3 * i] = xyz[3 * i] + acc0 * mag;
+    out[3 * i + 1] = xyz[3 * i + 1] + acc1 * mag;
+    out[3 * i + 2] = xyz[3 * i + 2] + acc2 * mag;
+  }
+}
+
 }  // extern "C"

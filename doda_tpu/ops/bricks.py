@@ -55,6 +55,11 @@ class BrickGrid(NamedTuple):
     occ: jax.Array      # (B_cap, CELLS) bool
     p2c: jax.Array      # (N_cap,) int32 cell of each point
     num_voxels: jax.Array  # () int32 active-cell count
+    # the brickify sort, shared with the feature reduction (saves one
+    # N-row sort per scene in _brick_feats_sorted):
+    sort_cell: jax.Array   # (N_cap,) int32 flat cell id b*64+c in sorted
+    #                        (brick, cell) order; INT32_MAX past valid
+    sort_pos: jax.Array    # (N_cap,) int32 original point row per slot
 
     @property
     def b_cap(self) -> int:
@@ -78,16 +83,57 @@ def brickify(coords: jax.Array, valid: jax.Array, b_cap: int) -> BrickGrid:
     Replaces the point->voxel hash of ref voxelize.cpp:61-155; here the
     dedup runs over brick coords (64x smaller) and cell occupancy is a
     boolean scatter.
-    """
+
+    The dedup sort carries ``cell*N + pos`` as a second key, so the
+    sorted stream comes out in (brick, cell) order — exactly what the
+    sort-based feature reduction needs — and ``_brick_feats_sorted``
+    reuses it instead of sorting the N points again (the table ids and
+    p2v are identical to a plain ``unique_coords_packed``: both orders
+    are lexicographic in the packed brick key)."""
+    from .coords import pack_coords1, MAX_COORD, _SENTINEL
+    from .coords import PACK_BITS, _PACK_LIM
+    n_pts = coords.shape[0]
     bcoords = coords // BRICK
-    table = unique_coords_packed(bcoords, valid, b_cap)
     cell = _cell_index(coords % BRICK)
     cell = jnp.where(valid, cell, 0).astype(jnp.int32)
+
+    k = pack_coords1(bcoords, valid)
+    pos = jnp.arange(n_pts, dtype=jnp.int32)
+    payload = cell * n_pts + pos         # < 64*N: fits int32 for N <= 32M
+    ks, pls = jax.lax.sort((k, payload), num_keys=2)
+    valid_s = ks != _SENTINEL
+    cell_s = pls // n_pts
+    pos_s = pls % n_pts
+
+    first = jnp.zeros((n_pts,), dtype=bool).at[0].set(True)
+    new = (first | (ks != jnp.roll(ks, 1))) & valid_s
+    vid_s = jnp.cumsum(new.astype(jnp.int32)) - 1
+    n = jnp.minimum(vid_s[-1] + 1, b_cap).astype(jnp.int32)
+    vid_s = jnp.where(valid_s & (vid_s < b_cap), vid_s, b_cap)
+
+    coords_s = jnp.stack([ks >> (2 * PACK_BITS),
+                          (ks >> PACK_BITS) & (_PACK_LIM - 1),
+                          ks & (_PACK_LIM - 1)], axis=-1)
+    slot = jnp.where(new & (vid_s < b_cap), vid_s, b_cap)
+    tcoords = jnp.full((b_cap + 1, 3), MAX_COORD, dtype=jnp.int32)
+    tcoords = tcoords.at[slot].set(coords_s)
+    tcoords = tcoords.at[b_cap].set(MAX_COORD)
+    tcoords = tcoords[:b_cap]
+
+    _, p2v = jax.lax.sort((pos_s, vid_s), num_keys=1)
+    tk = pack_coords1(tcoords, jnp.arange(b_cap) < n)
+    table = CoordTable(coords=tcoords, k1=tk, k2=jnp.zeros_like(tk), n=n,
+                       p2v=p2v)
+
     occ = jnp.zeros((b_cap + 1, CELLS), bool)
-    occ = occ.at[table.p2v, cell].set(valid)
+    occ = occ.at[vid_s, cell_s].set(valid_s)
     occ = occ[:b_cap]
+    sort_cell = jnp.where(valid_s & (vid_s < b_cap),
+                          vid_s * CELLS + cell_s, _SENTINEL)
     return BrickGrid(table=table, occ=occ, p2c=cell,
-                     num_voxels=occ.sum().astype(jnp.int32))
+                     num_voxels=occ.sum().astype(jnp.int32),
+                     sort_cell=sort_cell.astype(jnp.int32),
+                     sort_pos=pos_s.astype(jnp.int32))
 
 
 def row_gather_128(table: jax.Array, idx: jax.Array) -> jax.Array:
@@ -185,11 +231,11 @@ def _brick_feats_sorted(feats: jax.Array, grid: BrickGrid,
     slice_cells = BRICK * BRICK             # 16
     sent = jnp.iinfo(jnp.int32).max
 
-    flat = grid.flat_index()                 # (N,) null == b_cap*64
-    key = jnp.where(flat >= grid.b_cap * CELLS, sent, flat)
+    # the (brick, cell)-sorted stream comes from brickify's dedup sort
+    # (BrickGrid.sort_cell/sort_pos) — no second N-row sort here
+    ks = grid.sort_cell
     pos = jnp.arange(n, dtype=jnp.int32)
-    ks, order = jax.lax.sort((key, pos), num_keys=1)
-    fs = feats[order].astype(jnp.float32)    # (N, C)
+    fs = feats[grid.sort_pos].astype(jnp.float32)    # (N, C)
     valid_s = ks != sent
 
     # lane-expanded slice rows: point at cell_lo owns lanes

@@ -171,3 +171,34 @@ def test_brick_feats_sorted_matches_scatter(monkeypatch):
         monkeypatch.delenv('DODA_FEATS')
         got = np.asarray(bricks.brick_feats_2d(feats, g, mode))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_brickify_matches_plain_dedup():
+    """brickify's fused (key, cell) sort must produce the same table,
+    p2v and occ as a plain unique_coords_packed dedup, and its carried
+    sort stream must be (brick, cell)-ordered."""
+    import numpy as np
+    import jax.numpy as jnp
+    from doda_tpu.ops import bricks
+    from doda_tpu.ops.coords import unique_coords_packed
+    rng = np.random.default_rng(9)
+    coords = rng.integers(0, 40, (5000, 3)).astype(np.int32)
+    valid = rng.random(5000) < 0.9
+    for cap in (2048, 64):     # 64 forces brick overflow
+        g = bricks.brickify(jnp.asarray(coords), jnp.asarray(valid), cap)
+        t = unique_coords_packed(jnp.asarray(coords) // bricks.BRICK,
+                                 jnp.asarray(valid), cap)
+        np.testing.assert_array_equal(np.asarray(g.table.coords),
+                                      np.asarray(t.coords))
+        np.testing.assert_array_equal(np.asarray(g.table.p2v),
+                                      np.asarray(t.p2v))
+        assert int(g.table.n) == int(t.n)
+        sc = np.asarray(g.sort_cell)
+        sp = np.asarray(g.sort_pos)
+        sent = np.iinfo(np.int32).max
+        real = sc != sent
+        assert np.all(np.diff(sc[real]) >= 0)          # sorted stream
+        # the stream pairs each original point with its flat cell id
+        flat = np.asarray(g.flat_index())
+        want = np.where(flat[sp] >= cap * bricks.CELLS, sent, flat[sp])
+        np.testing.assert_array_equal(sc, want)

@@ -59,3 +59,27 @@ def test_native_lib_loaded():
     if not host_ops.native_available():
         pytest.skip('native lib not built')
     assert host_ops.native_available()
+
+
+def test_elastic_interp_matches_numpy():
+    """Native trilinear elastic lookup == the NumPy reference path."""
+    import numpy as np
+    from doda_tpu.native import host_ops
+    from doda_tpu.data.augmentor import aug_ops
+    if not host_ops.native_available():
+        import pytest
+        pytest.skip('native lib not built')
+    rng = np.random.default_rng(3)
+    xyz = rng.uniform(-40, 200, (20000, 3))
+    # include out-of-grid points (clip pushes some past the grid)
+    xyz[:50] *= 10
+    dims = (np.abs(xyz).max(0).astype(np.int32) // 6 + 3)
+    # shrink dims to force plenty of oob queries too
+    dims = np.maximum(dims // 2, 4)
+    noise = [rng.standard_normal(dims).astype(np.float32)
+             for _ in range(3)]
+    want = xyz + aug_ops._trilinear_regular(noise, dims, 6, xyz) * 40.0
+    got = host_ops.elastic_interp(
+        np.stack([n.reshape(-1) for n in noise]), dims, 6.0, 40.0, xyz)
+    assert got is not None
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
