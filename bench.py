@@ -84,6 +84,22 @@ def kernel_check():
         compute_dtype=jnp.float32)).reshape(want_u.shape)
     err_u = np.abs(got_u - want_u).max()
     assert err_u < 1e-3, f'up_conv2_2d drift vs oracle: {err_u}'
+
+    # fused norm+ReLU prologue (the production block path) vs the
+    # explicit composition, on-device
+    scale = jnp.asarray(rng.normal(size=(16,)).astype(np.float32) + 1.0)
+    bias = jnp.asarray(rng.normal(size=(16,)).astype(np.float32) * 0.3)
+    raw = jnp.asarray(rng.normal(size=(1024, bricks.CELLS * 16))
+                      .astype(np.float32))
+    st, bt = jnp.tile(scale, bricks.CELLS), jnp.tile(bias, bricks.CELLS)
+    h = jnp.where(jnp.repeat(grid.occ, 16, axis=1),
+                  jnp.maximum(raw * st + bt, 0), 0)
+    want_n = np.asarray(bricks2d.subm_conv3_2d(
+        h, grid.occ, nbr, w, compute_dtype=jnp.float32))
+    got_n = np.asarray(bricks2d.subm_conv3_norm_2d(
+        raw, grid.occ, nbr, w, scale, bias, compute_dtype=jnp.float32))
+    err_n = np.abs(got_n - want_n).max()
+    assert err_n < 1e-3, f'subm_conv3_norm_2d drift on device: {err_n}'
     print(f'kernel check ok (2d+v2 subm, 2d down/up vs oracle on device)',
           file=sys.stderr)
 
