@@ -252,13 +252,25 @@ def _occ_rep(occ: jax.Array, cout: int) -> jax.Array:
     return jnp.repeat(occ, cout, axis=1)
 
 
+def _dup48(parts):
+    """Reorder an 18-block (Y'-major, 3 blocks per plane row) part list
+    into the duplicated-halves layout [Y' -1..2 | Y' 1..4] (48C lanes):
+    both y-split GEMM halves become 128-aligned lane slices at any
+    cin % 16 == 0 (the plain 36C row's hi half starts at 12C lanes,
+    which is 128-aligned only for cin % 32 == 0)."""
+    assert len(parts) == 18
+    return parts[0:12] + parts[6:18]
+
+
 def _assemble_p6(x2: jax.Array, nbr: jax.Array,
-                 compute_dtype, pro=None) -> jax.Array:
+                 compute_dtype, pro=None, dup48: bool = False) -> list:
     """Halo-plane assembly: (B, 64*cin) -> list of 6 (B, 36*cin) rows
     [x=-1 plane, 4 in-brick planes, x=+4 plane] for the shifted GEMMs.
 
     ``pro``: optional (scale, bias, occ) norm+ReLU prologue applied on
-    every read of x2 (see LaneReader)."""
+    every read of x2 (see LaneReader). ``dup48``: emit 48C rows with
+    the Y' 1..2 blocks duplicated (see _dup48) for the y-split Mosaic
+    kernel."""
     b, lanes = x2.shape
     cin = lanes // CELLS
     rd = LaneReader(x2, cin, compute_dtype, pro)
@@ -287,6 +299,8 @@ def _assemble_p6(x2: jax.Array, nbr: jax.Array,
                 parts.append(rd.read(lane0, ln))
             else:
                 parts.append(gathered[d][:, lane0 * cin:(lane0 + ln) * cin])
+        if dup48:
+            parts = _dup48(parts)
         rows.append(jnp.concatenate(parts, axis=1))
 
     # x-/x+ halo planes: exact 9-source assembly per plane (the face
@@ -318,6 +332,8 @@ def _assemble_p6(x2: jax.Array, nbr: jax.Array,
                 xs = BRICK - 1 if dx == -1 else 0
                 local = pos - xs * n_sub if n_sub == BRICK else 0
                 parts.append(gsub[d][:, local * cin:(local + ln) * cin])
+        if dup48:
+            parts = _dup48(parts)
         return jnp.concatenate(parts, axis=1)
 
     row_m = xplane(-1)
@@ -546,19 +562,27 @@ def _subm_raw(x2, nbr, weights, compute_dtype, pro=None):
             return _sm_xla(x, gyz, gxm, gxp, wc, wh, wx,
                            cin, cout).astype(x2.dtype)
     wb = banded_weights(weights.astype(compute_dtype))
-    rows6 = _assemble_p6(x2, nbr, compute_dtype, pro)
-    # DODA_PALLAS: '1' enables the fused kernel on TPU, 'force' enables
-    # it off-TPU (interpret mode, for tests). Default OFF: standalone
-    # the kernel matches the XLA GEMMs (10.2 vs 10.5 ms at the L0 bench
-    # shape), but in-model it measured 3.05 vs 4.37 scenes/sec — the
-    # pallas_call serializes against surrounding assembly fusions that
-    # XLA otherwise overlaps. Revisit with gather+GEMM fusion inside
-    # the kernel.
+    # DODA_PALLAS: '1' enables the gen-1 fused kernel on TPU (full
+    # contraction), '2' the gen-2 y-split kernel over duplicated-halves
+    # 48C rows (2/3 FLOPs, each row still read once); 'force'/'force2'
+    # enable them off-TPU (interpret mode, for tests). Default OFF:
+    # standalone gen-1 matches the XLA GEMMs (10.2 vs 10.5 ms at the L0
+    # bench shape), but in-model it measured 3.05 vs 4.37 scenes/sec —
+    # the pallas_call serializes against surrounding assembly fusions
+    # that XLA otherwise overlaps. Gen-2 exists to re-test that with
+    # FLOP parity.
     sel = os.environ.get('DODA_PALLAS', '0')
-    use_pallas = (sel == 'force'
-                  or (sel == '1' and jax.default_backend() == 'tpu'))
+    on_tpu = jax.default_backend() == 'tpu'
+    itemsize = jnp.dtype(compute_dtype).itemsize
+    if ((sel == 'force2' or (sel == '2' and on_tpu))
+            and pallas_banded.fits_pallas2(x2.shape[0], cin, cout,
+                                           itemsize)):
+        rows48 = _assemble_p6(x2, nbr, compute_dtype, pro, dup48=True)
+        return pallas_banded.banded_conv2(rows48, wb, x2.dtype)
+    rows6 = _assemble_p6(x2, nbr, compute_dtype, pro)
+    use_pallas = (sel == 'force' or (sel == '1' and on_tpu))
     if use_pallas and pallas_banded.fits_pallas(
-            x2.shape[0], cin, cout, jnp.dtype(compute_dtype).itemsize):
+            x2.shape[0], cin, cout, itemsize):
         return pallas_banded.banded_conv(rows6, wb, x2.dtype)
     # y-split: the banded weight is zero where |Y' - y| > 1, so outputs
     # y in {0,1} only read plane lanes Y' in -1..2 ([0 : 24C]) and

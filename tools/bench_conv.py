@@ -47,8 +47,15 @@ def main():
         w = jnp.asarray(
             rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1)
 
-        for mode in ('0', 'xla', '1'):
-            os.environ['DODA_SM'] = mode
+        for mode in ('0', 'xla', 'sm1', 'p1', 'p2'):
+            # '0' = rows6 y-split XLA GEMMs (production default),
+            # 'xla'/'sm1' = source-major XLA / fused kernel,
+            # 'p1'/'p2' = banded Mosaic kernels gen-1 (full) / gen-2
+            # (y-split over duplicated-halves rows)
+            os.environ['DODA_SM'] = {'xla': 'xla', 'sm1': '1'}.get(mode,
+                                                                   '0')
+            os.environ['DODA_PALLAS'] = {'p1': '1', 'p2': '2'}.get(mode,
+                                                                   '0')
 
             def chain(x, w, n):
                 acc = jnp.float32(0)
@@ -64,7 +71,7 @@ def main():
             t0 = time.perf_counter()
             float(loop(x, w, reps))
             dt = (time.perf_counter() - t0) / reps * 1e3
-            print(f'cin={cin:3d} cout={cout:3d} DODA_SM={mode:3s}: '
+            print(f'cin={cin:3d} cout={cout:3d} mode={mode:4s}: '
                   f'{dt:7.2f} ms/conv', flush=True)
             del loop
 
