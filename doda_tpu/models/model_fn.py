@@ -291,7 +291,10 @@ def make_steps(cfg, model: SparseConvNet, tx, b_caps):
         }
         return new_state, metrics
 
-    return jax.jit(train_step), jax.jit(eval_step), jax.jit(st_step)
+    # donate the TrainState: params/opt_state update in place (no copy,
+    # and the freed buffers lower peak HBM during backward)
+    return (jax.jit(train_step, donate_argnums=0), jax.jit(eval_step),
+            jax.jit(st_step, donate_argnums=0))
 
 
 def init_state(cfg, model, tx, rng_key):
