@@ -134,9 +134,6 @@ def train_bench(state, mf, cfg, b_caps, coords, feats, valid):
 
     coords, feats, valid = (a[:TRAIN_BATCH] for a in (coords, feats, valid))
     tx = build_optimizer(cfg.OPTIMIZATION)
-    # train_step donates its state: work on a copy so the caller's state
-    # buffers stay alive for the forward bench afterwards
-    state = jax.tree.map(jnp.array, state)
     train_step, _, _ = mf.make_steps(cfg, mf.build_model(cfg), tx, b_caps)
     labels = np.where(valid, np.random.default_rng(1).integers(
         0, 20, valid.shape), 255).astype(np.int32)

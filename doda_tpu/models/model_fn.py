@@ -291,10 +291,7 @@ def make_steps(cfg, model: SparseConvNet, tx, b_caps):
         }
         return new_state, metrics
 
-    # donate the TrainState: params/opt_state update in place (no copy,
-    # and the freed buffers lower peak HBM during backward)
-    return (jax.jit(train_step, donate_argnums=0), jax.jit(eval_step),
-            jax.jit(st_step, donate_argnums=0))
+    return jax.jit(train_step), jax.jit(eval_step), jax.jit(st_step)
 
 
 def init_state(cfg, model, tx, rng_key):
