@@ -89,56 +89,60 @@ def _runs(cells):
     return runs
 
 
-class LaneReader:
-    """Cell-aligned lane-slice reads of x2 with an optional fused
-    norm+ReLU prologue.
+# --- fused norm+ReLU prologue plumbing -------------------------------------
+#
+# ``pro = (scale, bias, occ)`` folds the pre-activation batch norm +
+# relu + cell mask into the conv: the normalized activation
+# where(occ, relu(x*scale + bias), 0) is never materialized. Values are
+# assembled RAW (same slices/gathers as the unfused path) alongside a
+# parallel cells-wide boolean mask assembly, and the affine+relu+mask
+# applies ONCE per assembled row (_apply_pro) — elementwise-after-concat,
+# one fusion per row. (The first cut applied the prologue per lane-slice
+# read — ~10 HLO ops x ~75 reads per conv — which measurably inflated
+# model compile times; many elementwise producers feeding one concat is
+# a hostile pattern for the fusion passes.)
+# Masking is load-bearing: bias > 0 would light inactive cells via relu.
 
-    With ``pro = (scale, bias, occ)`` every read returns
-    ``where(occ_cells, relu(x*scale + bias), 0)`` computed inline — the
-    elementwise math fuses into each consumer's emission (concat/gather)
-    instead of materializing the normalized activation, saving a full
-    (rows, 64C) write + read per conv. scale/bias are per-channel (C,);
-    occ is the (rows, 64) cell mask (masking is load-bearing: bias > 0
-    would otherwise light up inactive cells through relu)."""
-
-    def __init__(self, x2, cin, compute_dtype, pro=None):
-        self.x = x2.astype(compute_dtype)
-        self.cin = cin
-        if pro is None:
-            self.pro = None
-        else:
-            scale, bias, occ = pro
-            self.st = jnp.tile(scale, CELLS).astype(compute_dtype)
-            self.bt = jnp.tile(bias, CELLS).astype(compute_dtype)
-            self.occ = occ
-            self.pro = True
-
-    def read(self, c0: int, ln: int) -> jax.Array:
-        cin = self.cin
-        part = self.x[:, c0 * cin:(c0 + ln) * cin]
-        if self.pro is None:
-            return part
-        y = jnp.maximum(part * self.st[c0 * cin:(c0 + ln) * cin]
-                        + self.bt[c0 * cin:(c0 + ln) * cin], 0)
-        m = jnp.repeat(self.occ[:, c0:c0 + ln], cin, axis=1)
-        return jnp.where(m, y, 0)
-
-    def full(self) -> jax.Array:
-        return self.read(0, CELLS)
+def _apply_pro(val: jax.Array, mask: jax.Array, pro, cin: int,
+               compute_dtype) -> jax.Array:
+    """val (B, n_cells*cin), mask (B, n_cells) bool ->
+    where(mask, relu(val*scale + bias), 0), channel-tiled."""
+    scale, bias, _ = pro
+    n_cells = mask.shape[1]
+    st = jnp.tile(scale, n_cells).astype(compute_dtype)
+    bt = jnp.tile(bias, n_cells).astype(compute_dtype)
+    y = jnp.maximum(val * st + bt, 0)
+    return jnp.where(jnp.repeat(mask, cin, axis=1), y, 0)
 
 
-def extract_tab_yz(x2, cin: int) -> jax.Array:
+def pro_full(x2: jax.Array, pro, cin: int, compute_dtype) -> jax.Array:
+    """Materialized where(occ, relu(x*s+b), 0) — for engines that take a
+    normalized activation (same traffic as the unfused path)."""
+    return _apply_pro(x2.astype(compute_dtype), pro[2], pro, cin,
+                      compute_dtype)
+
+
+def extract_tab_yz(x2: jax.Array, cin: int) -> jax.Array:
     """(B, 64C) -> (B, 80C) boundary cells facing the 8 (dy,dz) dirs.
 
-    Pure lane-slice concat (56 runs) — one fused pass. ``x2`` may be a
-    LaneReader (prologue applied per run)."""
-    rd = x2 if isinstance(x2, LaneReader) else LaneReader(x2, cin, x2.dtype)
+    Pure lane-slice concat (56 runs) — one fused pass."""
     plan, total = _yz_piece_plan()
     parts = []
     for dy, dz in _OFFS2:
         _, cells = plan[(dy, dz)]
         for c0, ln in _runs(cells):
-            parts.append(rd.read(c0, ln))
+            parts.append(x2[:, c0 * cin:(c0 + ln) * cin])
+    return jnp.concatenate(parts, axis=1)
+
+
+def _extract_tab_mask(occ: jax.Array) -> jax.Array:
+    """The (B, 80) bool twin of extract_tab_yz (cells, not lanes)."""
+    plan, _ = _yz_piece_plan()
+    parts = []
+    for dy, dz in _OFFS2:
+        _, cells = plan[(dy, dz)]
+        for c0, ln in _runs(cells):
+            parts.append(occ[:, c0:c0 + ln])
     return jnp.concatenate(parts, axis=1)
 
 
@@ -267,41 +271,61 @@ def _assemble_p6(x2: jax.Array, nbr: jax.Array,
     """Halo-plane assembly: (B, 64*cin) -> list of 6 (B, 36*cin) rows
     [x=-1 plane, 4 in-brick planes, x=+4 plane] for the shifted GEMMs.
 
-    ``pro``: optional (scale, bias, occ) norm+ReLU prologue applied on
-    every read of x2 (see LaneReader). ``dup48``: emit 48C rows with
-    the Y' 1..2 blocks duplicated (see _dup48) for the y-split Mosaic
+    ``pro``: optional (scale, bias, occ) norm+ReLU prologue — values
+    assemble raw alongside a parallel (B, 36) mask assembly, and
+    _apply_pro runs once per row. ``dup48``: emit 48C rows with the
+    Y' 1..2 blocks duplicated (see _dup48) for the y-split Mosaic
     kernel."""
     b, lanes = x2.shape
     cin = lanes // CELLS
-    rd = LaneReader(x2, cin, compute_dtype, pro)
+    x = x2.astype(compute_dtype)
+    occ = pro[2] if pro is not None else None
 
     # null handling everywhere is clamp + where, NOT a padded copy:
     # jnp.pad of a (B, wC) table copies the whole table to add one zero
     # row (traced at ~20 ms of pad+reshape per level-0 conv)
-    def null_gather(table, idx):
+    def null_gather(table, idx, zero=0):
         g = table[jnp.minimum(idx, b - 1)]
-        return jnp.where((idx < b)[:, None], g, 0)
+        return jnp.where((idx < b)[:, None], g, zero)
 
-    tab = extract_tab_yz(rd, cin)               # (B, 80*cin)
+    tab = extract_tab_yz(x, cin)                # (B, 80*cin)
+    tab_m = _extract_tab_mask(occ) if pro is not None else None
     plan, _ = _yz_piece_plan()
-    gathered = {}
+    gathered, gathered_m = {}, {}
     for d in _OFFS2:
         st, cells = plan[d]
         col = dir3_index(0, *d)
         gathered[d] = null_gather(
             tab[:, st * cin:(st + len(cells)) * cin], nbr[:, col])
+        if pro is not None:
+            gathered_m[d] = null_gather(
+                tab_m[:, st:st + len(cells)], nbr[:, col], False)
+
+    def finish(vparts, mparts):
+        if dup48:
+            vparts = _dup48(vparts)
+        row = jnp.concatenate(vparts, axis=1)
+        if pro is not None:
+            if dup48:
+                mparts = _dup48(mparts)
+            row = _apply_pro(row, jnp.concatenate(mparts, axis=1), pro,
+                             cin, compute_dtype)
+        return row
 
     rows = []                                   # 4 center planes (B, 36C)
     for blocks in _plane_blocks():
-        parts = []
+        vparts, mparts = [], []
         for kind, d, lane0, ln in blocks:
             if kind == 'center':
-                parts.append(rd.read(lane0, ln))
+                vparts.append(x[:, lane0 * cin:(lane0 + ln) * cin])
+                if pro is not None:
+                    mparts.append(occ[:, lane0:lane0 + ln])
             else:
-                parts.append(gathered[d][:, lane0 * cin:(lane0 + ln) * cin])
-        if dup48:
-            parts = _dup48(parts)
-        rows.append(jnp.concatenate(parts, axis=1))
+                vparts.append(
+                    gathered[d][:, lane0 * cin:(lane0 + ln) * cin])
+                if pro is not None:
+                    mparts.append(gathered_m[d][:, lane0:lane0 + ln])
+        rows.append(finish(vparts, mparts))
 
     # x-/x+ halo planes: exact 9-source assembly per plane (the face
     # x-neighbor's boundary slice + the 8 (dx, dy, dz) diagonals' piece
@@ -309,32 +333,38 @@ def _assemble_p6(x2: jax.Array, nbr: jax.Array,
     plane_sq, _ = _yz_piece_plan()
 
     def xplane(dx):
-        gx2 = null_gather(rd.read((BRICK - 1 if dx == -1 else 0) * 16, 16),
-                          nbr[:, dir3_index(dx, 0, 0)])
-        gsub = {}
+        xs = BRICK - 1 if dx == -1 else 0
+        face = nbr[:, dir3_index(dx, 0, 0)]
+        gx2 = null_gather(x[:, xs * 16 * cin:(xs * 16 + 16) * cin], face)
+        gx2_m = (null_gather(occ[:, xs * 16:xs * 16 + 16], face, False)
+                 if pro is not None else None)
+        gsub, gsub_m = {}, {}
         for d in _OFFS2:
             st, cells = plane_sq[d]
             n_sub = BRICK if len(cells) > BRICK else 1
-            xs = BRICK - 1 if dx == -1 else 0
             lo = st + xs * n_sub
-            gsub[d] = null_gather(tab[:, lo * cin:(lo + n_sub) * cin],
-                                  nbr[:, dir3_index(dx, *d)])
-        parts = []
+            col = nbr[:, dir3_index(dx, *d)]
+            gsub[d] = null_gather(tab[:, lo * cin:(lo + n_sub) * cin], col)
+            if pro is not None:
+                gsub_m[d] = null_gather(tab_m[:, lo:lo + n_sub], col,
+                                        False)
+        vparts, mparts = [], []
         for blk in _xplane_blocks(dx):
             if blk[0] == 'x2':
                 _, lane0, ln = blk
-                lane0 -= (BRICK - 1 if dx == -1 else 0) * 16
-                parts.append(gx2[:, lane0 * cin:(lane0 + ln) * cin])
+                lane0 -= xs * 16
+                vparts.append(gx2[:, lane0 * cin:(lane0 + ln) * cin])
+                if pro is not None:
+                    mparts.append(gx2_m[:, lane0:lane0 + ln])
             else:
                 _, d, pos, ln = blk
                 st, cells = plane_sq[d]
                 n_sub = BRICK if len(cells) > BRICK else 1
-                xs = BRICK - 1 if dx == -1 else 0
                 local = pos - xs * n_sub if n_sub == BRICK else 0
-                parts.append(gsub[d][:, local * cin:(local + ln) * cin])
-        if dup48:
-            parts = _dup48(parts)
-        return jnp.concatenate(parts, axis=1)
+                vparts.append(gsub[d][:, local * cin:(local + ln) * cin])
+                if pro is not None:
+                    mparts.append(gsub_m[d][:, local:local + ln])
+        return finish(vparts, mparts)
 
     row_m = xplane(-1)
     row_p = xplane(1)
@@ -505,7 +535,7 @@ def subm_conv3_2d(x2: jax.Array, occ: jax.Array, nbr: jax.Array,
 def _subm_raw(x2, nbr, weights, compute_dtype, pro=None):
     """Assembly + banded conv, unmasked (dx in the VJP must keep the
     inactive-cell gradient — upstream masked producers zero it).
-    ``pro``: optional fused norm+ReLU prologue (see LaneReader).
+    ``pro``: optional fused norm+ReLU prologue (see _apply_pro).
 
     The conv runs as 12 shifted GEMMs over the 6 halo-plane rows
     (out_x = sum_j rows[x+j] @ wb[j]) instead of materializing the
@@ -534,11 +564,10 @@ def _subm_raw(x2, nbr, weights, compute_dtype, pro=None):
     sel_sm = os.environ.get('DODA_SM', '0')
     if os.environ.get('DODA_PALLAS', '0') != '0':
         sel_sm = '0'            # explicit first-gen kernel A/B wins
-    if pro is not None and (sel_sm in ('1', 'xla')
-                            or os.environ.get('DODA_PALLAS', '0') != '0'):
-        # alternate engines take a materialized activation: apply the
-        # prologue once up front (same traffic as the unfused path)
-        x2 = LaneReader(x2, cin, compute_dtype, pro).full()
+    if pro is not None and sel_sm in ('1', 'xla'):
+        # the source-major engines take a materialized activation: apply
+        # the prologue once up front (same traffic as the unfused path)
+        x2 = pro_full(x2, pro, cin, compute_dtype)
         pro = None
     if sel_sm in ('1', 'xla') and cin % 16 == 0 and cout % 8 == 0:
         from . import pallas_sm
@@ -740,12 +769,19 @@ def _ow_cells():
     return tuple(out)
 
 
-def _lane_permute(x2, cells, cin: int) -> jax.Array:
+def _lane_permute(x2: jax.Array, cells, cin: int,
+                  pro=None, compute_dtype=None) -> jax.Array:
     """Reorder the 64 cell blocks of (B, 64C) lanes — slice concat.
-    ``x2`` may be a LaneReader (norm+ReLU prologue applied per run)."""
-    rd = x2 if isinstance(x2, LaneReader) else LaneReader(x2, cin, x2.dtype)
-    parts = [rd.read(c0, ln) for c0, ln in _runs_keep(cells)]
-    return jnp.concatenate(parts, axis=1)
+    With ``pro``, the norm+ReLU prologue applies once on the permuted
+    result (values permute raw alongside a cells-wide mask permute)."""
+    runs = _runs_keep(cells)
+    parts = [x2[:, c0 * cin:(c0 + ln) * cin] for c0, ln in runs]
+    out = jnp.concatenate(parts, axis=1)
+    if pro is None:
+        return out
+    occ = pro[2]
+    mask = jnp.concatenate([occ[:, c0:c0 + ln] for c0, ln in runs], axis=1)
+    return _apply_pro(out, mask, pro, cin, compute_dtype)
 
 
 def _runs_keep(cells):
@@ -854,8 +890,8 @@ def down_conv2_norm_2d(x2: jax.Array, occ_c: jax.Array, occ_p: jax.Array,
     b, lanes = x2.shape
     cin = lanes // CELLS
     cout = weights.shape[-1]
-    rd = LaneReader(x2, cin, compute_dtype, (scale, bias, occ_c))
-    x = _lane_permute(rd, _wo_cells(), cin)
+    x = _lane_permute(x2.astype(compute_dtype), _wo_cells(), cin,
+                      (scale, bias, occ_c), compute_dtype)
     rows = x.reshape(b * WINDOWS, 8 * cin)
     w = weights.reshape(8 * cin, cout).astype(compute_dtype)
     child_out = jnp.dot(rows, w).reshape(b, WINDOWS * cout)
@@ -895,8 +931,8 @@ def _downn_bwd(compute_dtype, res, g):
     dscale = (dh_live * xc.astype(jnp.float32)).reshape(
         b, CELLS, cin).sum((0, 1))
     dbias = dh_live.reshape(b, CELLS, cin).sum((0, 1))
-    rd = LaneReader(x2, cin, compute_dtype, (scale, bias, occ_c))
-    x = _lane_permute(rd, _wo_cells(), cin)
+    x = _lane_permute(x2.astype(compute_dtype), _wo_cells(), cin,
+                      (scale, bias, occ_c), compute_dtype)
     rows = x.reshape(b * WINDOWS, 8 * cin)
     dw = jnp.einsum('bk,bn->kn', rows, gc_rows,
                     preferred_element_type=jnp.float32)
@@ -976,8 +1012,8 @@ def up_conv2_norm_2d(p2: jax.Array, occ_p: jax.Array, occ_c: jax.Array,
     cin = lanes // CELLS
     cout = weights.shape[-1]
     b = down.child_parent.shape[0]
-    rd = LaneReader(p2, cin, compute_dtype, (scale, bias, occ_p))
-    par_ow = _lane_permute(rd, _ow_cells(), cin)
+    par_ow = _lane_permute(p2.astype(compute_dtype), _ow_cells(), cin,
+                           (scale, bias, occ_p), compute_dtype)
     corner = _octant_gather(par_ow, down.child_parent, down.parity,
                             WINDOWS * cin)
     rows = corner.reshape(b * WINDOWS, cin)
@@ -1019,8 +1055,8 @@ def _upn_bwd(compute_dtype, res, g):
     dscale = (dh_live * pc.astype(jnp.float32)).reshape(
         p, CELLS, cin).sum((0, 1))
     dbias = dh_live.reshape(p, CELLS, cin).sum((0, 1))
-    rd = LaneReader(p2, cin, compute_dtype, (scale, bias, occ_p))
-    par_ow = _lane_permute(rd, _ow_cells(), cin)
+    par_ow = _lane_permute(p2.astype(compute_dtype), _ow_cells(), cin,
+                           (scale, bias, occ_p), compute_dtype)
     corner = _octant_gather(par_ow, down.child_parent, down.parity,
                             WINDOWS * cin)
     dw8 = jnp.einsum('bk,bn->kn', corner.reshape(b * WINDOWS, cin),

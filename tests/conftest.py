@@ -22,12 +22,6 @@ import jax
 if not os.environ.get('DODA_TEST_TPU'):
     jax.config.update('jax_platforms', 'cpu')
 
-# persistent compilation cache: the model-level suites (unet/distributed/
-# tools_cli) spend most of their wall clock re-compiling the same graphs
-# on every run; cached reruns skip that.
-jax.config.update('jax_compilation_cache_dir', '/tmp/jax_ccache_tests')
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 2)
-
 import numpy as np
 import pytest
 
