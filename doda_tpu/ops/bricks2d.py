@@ -884,9 +884,9 @@ def down_conv2_norm_2d(x2: jax.Array, occ_c: jax.Array, occ_p: jax.Array,
                        bias: jax.Array,
                        compute_dtype=jnp.bfloat16) -> jax.Array:
     """down_conv2_2d with the fused norm+ReLU prologue on the child
-    input (see subm_conv3_norm_2d): the affine+relu+occ_c mask computes
-    inline in the window permute's slice reads. occ_c is the child cell
-    mask, occ_p the parent output mask."""
+    input (see subm_conv3_norm_2d): the affine+relu+occ_c mask applies
+    once, fused into the window permute's output pass. occ_c is the
+    child cell mask, occ_p the parent output mask."""
     b, lanes = x2.shape
     cin = lanes // CELLS
     cout = weights.shape[-1]
