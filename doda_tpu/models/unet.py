@@ -201,10 +201,13 @@ def _subm_impl() -> str:
 
 def _fuse_norm_ok(fl: FlatLevel) -> bool:
     """Whether the norm+ReLU prologue can fuse into the subm conv
-    (DODA_FUSE_NORM=0 disables for A/B; only the wide-lane 2D engine
-    implements the fused path)."""
+    (DODA_FUSE_NORM=1 enables; only the wide-lane 2D engine implements
+    the fused path). Default OFF: measured end-to-end at 3.24 vs 4.29
+    scenes/sec on the bench — the parallel mask assembly plus the
+    per-row affine apply costs more HBM traffic than the one saved
+    (rows, 64C) activation write+read."""
     import os
-    if os.environ.get('DODA_FUSE_NORM', '1') == '0':
+    if os.environ.get('DODA_FUSE_NORM', '0') != '1':
         return False
     impl = _subm_impl()
     return impl == '2d' or (impl == 'slab' and fl.slab is None)
