@@ -137,7 +137,10 @@ def pro_full(x2: jax.Array, pro, cin: int, compute_dtype) -> jax.Array:
 def extract_tab_yz(x2: jax.Array, cin: int) -> jax.Array:
     """(B, 64C) -> (B, 80C) boundary cells facing the 8 (dy,dz) dirs.
 
-    Pure lane-slice concat (56 runs) — one fused pass."""
+    Pure lane-slice concat (56 runs) — one fused pass. Piece layout is
+    _PIECE_ORDER (the 4 edge pieces of 16 cells each, then the 4 corner
+    pieces of 4 cells each — NOT the _OFFS2 raster); consumers must
+    index via _yz_piece_plan()."""
     plan, total = _yz_piece_plan()
     parts = []
     for dy, dz in _PIECE_ORDER:
@@ -184,6 +187,18 @@ def _extract_tab_split_mask(occ: jax.Array):
     return extract_tab_split(occ, 1)
 
 
+# Scoped-VMEM guard for the merged gathers: on small tables XLA's gather
+# fusion picks a VMEM-resident strategy that keeps the whole chunk-row
+# operand (plus index/output tiles, ~2.2x the operand bytes) on the 16 MB
+# scoped stack. At deep levels the (B*4, 16C) edge view reaches 1792 bf16
+# lanes and the fusion overflows it (BENCH_r03: bf16[2048,1792], +396 KB
+# over the limit — the flagship model stopped compiling on TPU). Chunks
+# wider than this many lanes fall back to one gather per direction —
+# bit-identical output, and the per-op fixed cost the merge saves only
+# matters at the shallow levels (small C, many bricks), which stay merged.
+_MERGE_LANE_LIMIT = 512
+
+
 def _merged_rows_gather(view: jax.Array, cols: jax.Array, chunk_rows,
                         b: int, zero=0) -> jax.Array:
     """One row gather serving k neighbor directions at once.
@@ -193,10 +208,19 @@ def _merged_rows_gather(view: jax.Array, cols: jax.Array, chunk_rows,
     each direction's piece within its source brick. Returns (b, k*w)
     with null chunks zeroed — bit-identical to k separate per-direction
     gathers, but ONE gather op (the per-op fixed cost dominates these
-    narrow gathers; rows are latency-priced, not byte-priced)."""
+    narrow gathers; rows are latency-priced, not byte-priced). Rows
+    wider than _MERGE_LANE_LIMIT split back into per-direction gathers
+    (see the guard comment above)."""
     m = view.shape[0] // b
+    chunk_rows = list(chunk_rows)
+    if view.shape[1] > _MERGE_LANE_LIMIT:
+        parts = []
+        for k, cr in enumerate(chunk_rows):
+            g = view[jnp.minimum(cols[:, k], b - 1) * m + cr]
+            parts.append(jnp.where((cols[:, k] < b)[:, None], g, zero))
+        return jnp.concatenate(parts, axis=1)
     rows = (jnp.minimum(cols, b - 1) * m
-            + jnp.asarray(list(chunk_rows), jnp.int32)[None, :])
+            + jnp.asarray(chunk_rows, jnp.int32)[None, :])
     g = view[rows.reshape(-1)]
     ok = (cols < b).reshape(-1)
     g = jnp.where(ok[:, None], g, zero)
@@ -433,13 +457,14 @@ def _assemble_p6(x2: jax.Array, nbr: jax.Array,
             gxc_m = _merged_rows_gather(tcm, cols_xc,
                                         range(len(_CORNERS)), b, False)
 
-        def g_xs(d, pos, ln):
-            """Sub-run of diagonal d's piece at x slice xs (cells)."""
+        def g_xs(d, pos):
+            """Base lane-cell index of diagonal d's x == xs sub-run
+            within the merged gather (gxe/gxc); callers slice the run
+            length themselves."""
             if d in _EIDX:              # chunk holds cells xs*4..xs*4+3
-                base = _EIDX[d] * BRICK + (pos - xs * BRICK)
-            else:                       # chunk holds the 4 x cells
-                base = _CIDX[d] * BRICK + xs
-            return base
+                return _EIDX[d] * BRICK + (pos - xs * BRICK)
+            # corner chunk holds the 4 x cells
+            return _CIDX[d] * BRICK + xs
 
         vparts, mparts = [], []
         for blk in _xplane_blocks(dx):
@@ -451,7 +476,7 @@ def _assemble_p6(x2: jax.Array, nbr: jax.Array,
                     mparts.append(gx2_m[:, lane0:lane0 + ln])
             else:
                 _, d, pos, ln = blk
-                base = g_xs(d, pos, ln)
+                base = g_xs(d, pos)
                 gv = gxe if d in _EIDX else gxc
                 vparts.append(gv[:, base * cin:(base + ln) * cin])
                 if pro is not None:
