@@ -47,18 +47,6 @@ from .bricks import BRICK, CELLS, _H, WINDOWS
 
 _OFFS2 = [(dy, dz) for dy in (-1, 0, 1) for dz in (-1, 0, 1)
           if (dy, dz) != (0, 0)]
-# piece-table order: the 4 edge pieces (16 cells each) first, then the 4
-# corner pieces (4 cells each) — so the edge block reshapes to free
-# (B*4, 16C) / (B*16, 4C) chunk-row views and the corner block to
-# (B*4, 4C), which is what the merged halo gathers index (one gather op
-# per chunk family instead of one per direction; each gather op carries
-# ~0.1 ms fixed overhead on v5e regardless of row count — 26 per conv
-# was ~160 ms of pure op overhead over the bench forward)
-_EDGES = [d for d in _OFFS2 if 0 in d]
-_CORNERS = [d for d in _OFFS2 if 0 not in d]
-_PIECE_ORDER = _EDGES + _CORNERS
-_EIDX = {d: k for k, d in enumerate(_EDGES)}
-_CIDX = {d: k for k, d in enumerate(_CORNERS)}
 
 
 def _src(d: int):
@@ -81,12 +69,12 @@ def _yz_piece_plan():
     run."""
     plan = {}
     start = 0
-    for dy, dz in _PIECE_ORDER:
+    for dy, dz in _OFFS2:
         cells = [x * 16 + y * 4 + z
                  for x in range(BRICK) for y in _src(dy) for z in _src(dz)]
         plan[(dy, dz)] = (start, cells)
         start += len(cells)
-    return plan, start          # start == 80; edges at 0,16,32,48
+    return plan, start          # start == 80
 
 
 def _runs(cells):
@@ -137,13 +125,10 @@ def pro_full(x2: jax.Array, pro, cin: int, compute_dtype) -> jax.Array:
 def extract_tab_yz(x2: jax.Array, cin: int) -> jax.Array:
     """(B, 64C) -> (B, 80C) boundary cells facing the 8 (dy,dz) dirs.
 
-    Pure lane-slice concat (56 runs) — one fused pass. Piece layout is
-    _PIECE_ORDER (the 4 edge pieces of 16 cells each, then the 4 corner
-    pieces of 4 cells each — NOT the _OFFS2 raster); consumers must
-    index via _yz_piece_plan()."""
+    Pure lane-slice concat (56 runs) — one fused pass."""
     plan, total = _yz_piece_plan()
     parts = []
-    for dy, dz in _PIECE_ORDER:
+    for dy, dz in _OFFS2:
         _, cells = plan[(dy, dz)]
         for c0, ln in _runs(cells):
             parts.append(x2[:, c0 * cin:(c0 + ln) * cin])
@@ -154,77 +139,11 @@ def _extract_tab_mask(occ: jax.Array) -> jax.Array:
     """The (B, 80) bool twin of extract_tab_yz (cells, not lanes)."""
     plan, _ = _yz_piece_plan()
     parts = []
-    for dy, dz in _PIECE_ORDER:
+    for dy, dz in _OFFS2:
         _, cells = plan[(dy, dz)]
         for c0, ln in _runs(cells):
             parts.append(occ[:, c0:c0 + ln])
     return jnp.concatenate(parts, axis=1)
-
-
-def extract_tab_split(x2: jax.Array, cin: int):
-    """Boundary-cell tables as TWO tensors: edge pieces (B, 4*16*cin)
-    and corner pieces (B, 4*4*cin), each a lane-slice concat.
-
-    Two tensors (not one 80C table) so the chunk-row views the merged
-    halo gathers need — (B*4, 16C), (B*16, 4C), (B*4, 4C) — are free
-    row-major reshapes instead of lane slices (which would materialize
-    a copy before every gather)."""
-    plan, _ = _yz_piece_plan()
-
-    def build(dirs, width):
-        parts = []
-        for d in dirs:
-            _, cells = plan[d]
-            for c0, ln in _runs(cells):
-                parts.append(x2[:, c0 * width:(c0 + ln) * width])
-        return jnp.concatenate(parts, axis=1)
-
-    return build(_EDGES, cin), build(_CORNERS, cin)
-
-
-def _extract_tab_split_mask(occ: jax.Array):
-    """Bool cell-mask twins of extract_tab_split (width 1)."""
-    return extract_tab_split(occ, 1)
-
-
-# Scoped-VMEM guard for the merged gathers: on small tables XLA's gather
-# fusion picks a VMEM-resident strategy that keeps the whole chunk-row
-# operand (plus index/output tiles, ~2.2x the operand bytes) on the 16 MB
-# scoped stack. At deep levels the (B*4, 16C) edge view reaches 1792 bf16
-# lanes and the fusion overflows it (BENCH_r03: bf16[2048,1792], +396 KB
-# over the limit — the flagship model stopped compiling on TPU). Chunks
-# wider than this many lanes fall back to one gather per direction —
-# bit-identical output, and the per-op fixed cost the merge saves only
-# matters at the shallow levels (small C, many bricks), which stay merged.
-_MERGE_LANE_LIMIT = 512
-
-
-def _merged_rows_gather(view: jax.Array, cols: jax.Array, chunk_rows,
-                        b: int, zero=0) -> jax.Array:
-    """One row gather serving k neighbor directions at once.
-
-    view (b*m, w): chunk-row view of a piece table; cols (b, k) int32
-    neighbor brick ids (null >= b); chunk_rows (k,) static chunk row of
-    each direction's piece within its source brick. Returns (b, k*w)
-    with null chunks zeroed — bit-identical to k separate per-direction
-    gathers, but ONE gather op (the per-op fixed cost dominates these
-    narrow gathers; rows are latency-priced, not byte-priced). Rows
-    wider than _MERGE_LANE_LIMIT split back into per-direction gathers
-    (see the guard comment above)."""
-    m = view.shape[0] // b
-    chunk_rows = list(chunk_rows)
-    if view.shape[1] > _MERGE_LANE_LIMIT:
-        parts = []
-        for k, cr in enumerate(chunk_rows):
-            g = view[jnp.minimum(cols[:, k], b - 1) * m + cr]
-            parts.append(jnp.where((cols[:, k] < b)[:, None], g, zero))
-        return jnp.concatenate(parts, axis=1)
-    rows = (jnp.minimum(cols, b - 1) * m
-            + jnp.asarray(chunk_rows, jnp.int32)[None, :])
-    g = view[rows.reshape(-1)]
-    ok = (cols < b).reshape(-1)
-    g = jnp.where(ok[:, None], g, zero)
-    return g.reshape(b, -1)
 
 
 @functools.lru_cache(maxsize=None)
@@ -369,41 +288,18 @@ def _assemble_p6(x2: jax.Array, nbr: jax.Array,
         g = table[jnp.minimum(idx, b - 1)]
         return jnp.where((idx < b)[:, None], g, zero)
 
-    ec = BRICK * BRICK                          # 16 cells per edge piece
-    tab_e, tab_c = extract_tab_split(x, cin)    # (B, 64C), (B, 16C)
-    te = tab_e.reshape(b * len(_EDGES), ec * cin)
-    tc = tab_c.reshape(b * len(_CORNERS), BRICK * cin)
-    if pro is not None:
-        tab_em, tab_cm = _extract_tab_split_mask(occ)
-        tem = tab_em.reshape(b * len(_EDGES), ec)
-        tcm = tab_cm.reshape(b * len(_CORNERS), BRICK)
-
-    # in-plane halo: ONE merged gather per piece family (edges, corners)
-    # instead of one per direction — 2 gather ops, same rows/bytes
-    cols_e = jnp.stack([nbr[:, dir3_index(0, *d)] for d in _EDGES], 1)
-    cols_c = jnp.stack([nbr[:, dir3_index(0, *d)] for d in _CORNERS], 1)
-    ge = _merged_rows_gather(te, cols_e, range(len(_EDGES)), b)
-    gc = _merged_rows_gather(tc, cols_c, range(len(_CORNERS)), b)
-    if pro is not None:
-        ge_m = _merged_rows_gather(tem, cols_e, range(len(_EDGES)), b,
-                                   False)
-        gc_m = _merged_rows_gather(tcm, cols_c, range(len(_CORNERS)), b,
-                                   False)
-
-    def g_ip(d, lane0, ln):
-        """Piece-local cell run of the in-plane gather for direction d."""
-        if d in _EIDX:
-            base = _EIDX[d] * ec + lane0
-            return ge[:, base * cin:(base + ln) * cin]
-        base = _CIDX[d] * BRICK + lane0
-        return gc[:, base * cin:(base + ln) * cin]
-
-    def g_ip_m(d, lane0, ln):
-        if d in _EIDX:
-            base = _EIDX[d] * ec + lane0
-            return ge_m[:, base:base + ln]
-        base = _CIDX[d] * BRICK + lane0
-        return gc_m[:, base:base + ln]
+    tab = extract_tab_yz(x, cin)                # (B, 80*cin)
+    tab_m = _extract_tab_mask(occ) if pro is not None else None
+    plan, _ = _yz_piece_plan()
+    gathered, gathered_m = {}, {}
+    for d in _OFFS2:
+        st, cells = plan[d]
+        col = dir3_index(0, *d)
+        gathered[d] = null_gather(
+            tab[:, st * cin:(st + len(cells)) * cin], nbr[:, col])
+        if pro is not None:
+            gathered_m[d] = null_gather(
+                tab_m[:, st:st + len(cells)], nbr[:, col], False)
 
     def finish(vparts, mparts):
         if dup48:
@@ -425,19 +321,16 @@ def _assemble_p6(x2: jax.Array, nbr: jax.Array,
                 if pro is not None:
                     mparts.append(occ[:, lane0:lane0 + ln])
             else:
-                vparts.append(g_ip(d, lane0, ln))
+                vparts.append(
+                    gathered[d][:, lane0 * cin:(lane0 + ln) * cin])
                 if pro is not None:
-                    mparts.append(g_ip_m(d, lane0, ln))
+                    mparts.append(gathered_m[d][:, lane0:lane0 + ln])
         rows.append(finish(vparts, mparts))
 
     # x-/x+ halo planes: exact 9-source assembly per plane (the face
     # x-neighbor's boundary slice + the 8 (dx, dy, dz) diagonals' piece
     # sub-runs). See _xplane_blocks for why a P-row gather is wrong.
-    # The 8 diagonal sub-gathers merge into 2 gather ops per side: edge
-    # x-runs are 4C chunk rows of tab_e, corners whole 4C rows of tab_c.
-    te4 = tab_e.reshape(b * len(_EDGES) * BRICK, BRICK * cin)
-    tem4 = (tab_em.reshape(b * len(_EDGES) * BRICK, BRICK)
-            if pro is not None else None)
+    plane_sq, _ = _yz_piece_plan()
 
     def xplane(dx):
         xs = BRICK - 1 if dx == -1 else 0
@@ -445,27 +338,16 @@ def _assemble_p6(x2: jax.Array, nbr: jax.Array,
         gx2 = null_gather(x[:, xs * 16 * cin:(xs * 16 + 16) * cin], face)
         gx2_m = (null_gather(occ[:, xs * 16:xs * 16 + 16], face, False)
                  if pro is not None else None)
-        cols_xe = jnp.stack([nbr[:, dir3_index(dx, *d)] for d in _EDGES],
-                            1)
-        cols_xc = jnp.stack([nbr[:, dir3_index(dx, *d)]
-                             for d in _CORNERS], 1)
-        erows = [k * BRICK + xs for k in range(len(_EDGES))]
-        gxe = _merged_rows_gather(te4, cols_xe, erows, b)  # (B, 4*4C)
-        gxc = _merged_rows_gather(tc, cols_xc, range(len(_CORNERS)), b)
-        if pro is not None:
-            gxe_m = _merged_rows_gather(tem4, cols_xe, erows, b, False)
-            gxc_m = _merged_rows_gather(tcm, cols_xc,
-                                        range(len(_CORNERS)), b, False)
-
-        def g_xs(d, pos):
-            """Base lane-cell index of diagonal d's x == xs sub-run
-            within the merged gather (gxe/gxc); callers slice the run
-            length themselves."""
-            if d in _EIDX:              # chunk holds cells xs*4..xs*4+3
-                return _EIDX[d] * BRICK + (pos - xs * BRICK)
-            # corner chunk holds the 4 x cells
-            return _CIDX[d] * BRICK + xs
-
+        gsub, gsub_m = {}, {}
+        for d in _OFFS2:
+            st, cells = plane_sq[d]
+            n_sub = BRICK if len(cells) > BRICK else 1
+            lo = st + xs * n_sub
+            col = nbr[:, dir3_index(dx, *d)]
+            gsub[d] = null_gather(tab[:, lo * cin:(lo + n_sub) * cin], col)
+            if pro is not None:
+                gsub_m[d] = null_gather(tab_m[:, lo:lo + n_sub], col,
+                                        False)
         vparts, mparts = [], []
         for blk in _xplane_blocks(dx):
             if blk[0] == 'x2':
@@ -476,12 +358,12 @@ def _assemble_p6(x2: jax.Array, nbr: jax.Array,
                     mparts.append(gx2_m[:, lane0:lane0 + ln])
             else:
                 _, d, pos, ln = blk
-                base = g_xs(d, pos)
-                gv = gxe if d in _EIDX else gxc
-                vparts.append(gv[:, base * cin:(base + ln) * cin])
+                st, cells = plane_sq[d]
+                n_sub = BRICK if len(cells) > BRICK else 1
+                local = pos - xs * n_sub if n_sub == BRICK else 0
+                vparts.append(gsub[d][:, local * cin:(local + ln) * cin])
                 if pro is not None:
-                    gm = gxe_m if d in _EIDX else gxc_m
-                    mparts.append(gm[:, base:base + ln])
+                    mparts.append(gsub_m[d][:, local:local + ln])
         return finish(vparts, mparts)
 
     row_m = xplane(-1)
@@ -924,15 +806,13 @@ def _inv(cells):
 
 def _children_gather(vals: jax.Array, parent_children: jax.Array,
                      b: int) -> jax.Array:
-    """(B, wC) child rows -> (P, 8*wC) octant-major parent assembly.
-
-    ONE row gather: parent_children rows are octant-minor, so the
-    (P*8, wC) gather reshapes straight to (P, 8*wC) — identical lanes
-    to 8 per-octant gathers + concat, minus 7 gather ops' fixed cost."""
-    idx = parent_children.reshape(-1)
-    g = vals[jnp.minimum(idx, b - 1)]
-    g = jnp.where((idx < b)[:, None], g, 0)
-    return g.reshape(parent_children.shape[0], -1)
+    """(B, wC) child rows -> (P, 8*wC) octant-major parent assembly."""
+    parts = []
+    for o in range(8):
+        idx = parent_children[:, o]
+        g = vals[jnp.minimum(idx, b - 1)]
+        parts.append(jnp.where((idx < b)[:, None], g, 0))
+    return jnp.concatenate(parts, axis=1)
 
 
 def _octant_gather(par_ow: jax.Array, child_parent: jax.Array,
