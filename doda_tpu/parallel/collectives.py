@@ -30,6 +30,60 @@ def init_distributed(coordinator=None, num_processes=None, process_id=None):
     return jax.process_index(), jax.process_count()
 
 
+def init_from_launcher(launcher: str, tcp_port: int = 18867, logger=None):
+    """CLI ``--launcher`` seam: read the launcher's rendezvous env and
+    initialize the JAX process group (ref util/common_utils.py:86-126,
+    init_dist_pytorch / init_dist_slurm).
+
+    ``pytorch``: torchrun/torch.distributed.launch env — RANK,
+    WORLD_SIZE, MASTER_ADDR (coordinator = MASTER_ADDR:tcp_port, like
+    the reference's tcp:// init_method).
+    ``slurm``: SLURM_PROCID / SLURM_NTASKS, coordinator = first host of
+    SLURM_STEP_NODELIST (ref uses scontrol show hostname; here the
+    common "host1,host2" / "prefix[a-b,...]" forms are parsed inline).
+    ``none``: single-process, no init.
+
+    Returns (rank, world_size). Must run before any other JAX backend
+    use in the process.
+    """
+    import os
+    import re
+
+    def _warn(msg):
+        if logger is not None:
+            logger.warning(msg)
+        else:
+            import logging
+            logging.getLogger('doda_tpu').warning(msg)
+
+    if launcher == 'none' or not launcher:
+        return 0, 1
+    if launcher == 'pytorch':
+        world = int(os.environ.get('WORLD_SIZE', '1'))
+        if world <= 1:
+            _warn('--launcher pytorch with WORLD_SIZE<=1; '
+                  'running single-process')
+            return 0, 1
+        rank = int(os.environ['RANK'])
+        coord = f"{os.environ['MASTER_ADDR']}:{tcp_port}"
+    elif launcher == 'slurm':
+        world = int(os.environ.get('SLURM_NTASKS', '1'))
+        if world <= 1:
+            _warn('--launcher slurm with SLURM_NTASKS<=1; '
+                  'running single-process')
+            return 0, 1
+        rank = int(os.environ['SLURM_PROCID'])
+        nodelist = os.environ.get('SLURM_STEP_NODELIST',
+                                  os.environ.get('SLURM_NODELIST', ''))
+        # "h1,h2" or "prefix[001-004,007]" -> first hostname
+        m = re.match(r'([^\[,]+)(?:\[([^\]\-,]+))?', nodelist)
+        head = m.group(1) + (m.group(2) or '') if m else nodelist
+        coord = f'{head}:{tcp_port}'
+    else:
+        raise ValueError(f'unknown launcher {launcher!r}')
+    return init_distributed(coord, world, rank)
+
+
 def make_mesh(n_devices=None, axis='data'):
     devices = jax.devices()
     n = n_devices or len(devices)
@@ -68,9 +122,3 @@ def all_gather_objects(obj):
     gathered = multihost_utils.process_allgather(buf)
     return [pickle.loads(gathered[i, :int(sizes[i])].tobytes())
             for i in range(jax.process_count())]
-
-
-def psum_metrics(tree, axis='data'):
-    """Explicit psum for metrics inside shard_map code paths. Under
-    plain sharded jit this is unnecessary (sums are already global)."""
-    return jax.tree.map(lambda x: jax.lax.psum(x, axis), tree)

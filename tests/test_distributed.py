@@ -124,3 +124,96 @@ def test_eval_step_sharded(setup, rng):
     assert mismatch <= 5, mismatch
     assert np.abs(np.asarray(out1['union']).astype(np.int64)
                   - np.asarray(out8['union'])).max() <= 5
+
+
+# ---------------------------------------------------------------------------
+# multi-host seams (host-side; faked process group, no second process)
+# ---------------------------------------------------------------------------
+
+def test_all_gather_objects_single_process():
+    from doda_tpu.parallel.collectives import all_gather_objects
+    obj = {'a': [1, 2], 'b': np.arange(3)}
+    out = all_gather_objects(obj)
+    assert len(out) == 1 and out[0]['a'] == [1, 2]
+
+
+def test_init_from_launcher_pytorch_env(monkeypatch):
+    from doda_tpu.parallel import collectives
+    seen = {}
+
+    def fake_init(coord, world, rank):
+        seen.update(coord=coord, world=world, rank=rank)
+        return rank, world
+    monkeypatch.setattr(collectives, 'init_distributed', fake_init)
+    monkeypatch.setenv('WORLD_SIZE', '4')
+    monkeypatch.setenv('RANK', '2')
+    monkeypatch.setenv('MASTER_ADDR', 'host0')
+    rank, world = collectives.init_from_launcher('pytorch', tcp_port=12345)
+    assert (rank, world) == (2, 4)
+    assert seen == dict(coord='host0:12345', world=4, rank=2)
+    # WORLD_SIZE=1 falls back to single-process without init
+    monkeypatch.setenv('WORLD_SIZE', '1')
+    seen.clear()
+    assert collectives.init_from_launcher('pytorch') == (0, 1)
+    assert not seen
+
+
+def test_init_from_launcher_slurm_env(monkeypatch):
+    from doda_tpu.parallel import collectives
+    seen = {}
+
+    def fake_init(coord, world, rank):
+        seen.update(coord=coord, world=world, rank=rank)
+        return rank, world
+    monkeypatch.setattr(collectives, 'init_distributed', fake_init)
+    monkeypatch.setenv('SLURM_NTASKS', '2')
+    monkeypatch.setenv('SLURM_PROCID', '1')
+    for nodelist, head in (('nd-[003-008]', 'nd-003'),
+                           ('hostA,hostB', 'hostA'),
+                           ('solo', 'solo')):
+        monkeypatch.setenv('SLURM_STEP_NODELIST', nodelist)
+        collectives.init_from_launcher('slurm', tcp_port=999)
+        assert seen['coord'] == f'{head}:999', nodelist
+    assert seen['world'] == 2 and seen['rank'] == 1
+
+
+def test_update_split_sampler_merges_across_processes(monkeypatch):
+    """tools/st.py must merge every rank's tail cuboids into the queue
+    (ref tool/st.py:86-97 all_gather_object); fake a 2-process world."""
+    import sys as _sys
+    import os as _os
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__),
+                                      '..', 'tools'))
+    import st as st_cli
+
+    class RecordingSampler:
+        def __init__(self):
+            self.updates, self.ratios = [], []
+
+        def update(self, per_class):
+            self.updates.append(per_class)
+
+        def update_class_ratio(self, r):
+            self.ratios.append(np.asarray(r))
+
+    num_c = 2
+    # rank0 (local) extras: 2 scenes x num_c interleaved tail splits
+    extras = {'tar_tail_splits': [['a0'], ['b0'], ['a1'], ['b1']],
+              'tar_splits_class_ratio': [np.array([1.0, 3.0])]}
+    remote_per_class = [['ra'], ['rb']]
+    remote_ratio = np.array([2.0, 1.0])
+
+    monkeypatch.setattr(st_cli.jax, 'process_count', lambda: 2)
+    monkeypatch.setattr(
+        st_cli, 'all_gather_objects',
+        lambda obj: [obj, (remote_per_class, remote_ratio)])
+
+    samp = RecordingSampler()
+    st_cli.update_split_sampler(samp, extras, num_c, update_ratio=True)
+    assert samp.updates == [[['a0', 'a1', 'ra'], ['b0', 'b1', 'rb']]]
+    np.testing.assert_allclose(samp.ratios[0], [3.0, 4.0])
+
+    # update_ratio=False leaves the EMA untouched but still merges queues
+    samp2 = RecordingSampler()
+    st_cli.update_split_sampler(samp2, extras, num_c, update_ratio=False)
+    assert samp2.updates and not samp2.ratios

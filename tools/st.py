@@ -26,7 +26,9 @@ from doda_tpu.data import get_dataset
 from doda_tpu.data.loader import DataReader
 from doda_tpu.models import model_fn as mf
 from doda_tpu.models.unet import default_brick_caps
-from doda_tpu.parallel.collectives import make_mesh, replicate
+from doda_tpu.parallel.collectives import (all_gather_objects,
+                                           init_from_launcher, make_mesh,
+                                           replicate)
 from doda_tpu.utils import checkpoint as ckpt_utils
 from doda_tpu.utils import pseudo_labels as pl_utils
 from doda_tpu.utils.logging import get_logger, make_writer
@@ -154,14 +156,26 @@ def set_pseudo_labels(args, cfg, logger, tar_data, tar_loader, state,
 
 def update_split_sampler(split_sampler, extras, num_c, update_ratio):
     """Queue + EMA ratio updates from one mixed batch
-    (ref: tool/st.py:82-97)."""
+    (ref: tool/st.py:82-97).
+
+    With >1 process the per-class tail cuboids and ratio sums are
+    host-gathered across ranks first (ref all_gather_object,
+    tool/st.py:86-89) so every rank's queue sees every rank's
+    harvested cuboids — otherwise the queues diverge per host."""
     tail_splits = extras.get('tar_tail_splits', [])
     per_class = [[x for item in tail_splits[i::num_c] for x in item]
                  for i in range(num_c)]
-    split_sampler.update(per_class)
     ratios = extras.get('tar_splits_class_ratio', [])
-    if update_ratio and len(ratios):
-        split_sampler.update_class_ratio(np.sum(ratios, axis=0))
+    ratio_sum = np.sum(ratios, axis=0) if len(ratios) else None
+    if jax.process_count() > 1:
+        gathered = all_gather_objects((per_class, ratio_sum))
+        per_class = [sum((g[0][c] for g in gathered), [])
+                     for c in range(num_c)]
+        sums = [g[1] for g in gathered if g[1] is not None]
+        ratio_sum = np.sum(sums, axis=0) if sums else None
+    split_sampler.update(per_class)
+    if update_ratio and ratio_sum is not None:
+        split_sampler.update_class_ratio(ratio_sum)
 
 
 def train_epoch(args, cfg, logger, writer, source_reader, tar_loader,
@@ -274,7 +288,9 @@ def main():
     if args.manual_seed is not None:
         np.random.seed(args.manual_seed)
 
-    # data-parallel mesh over all local devices (see tools/train.py)
+    # data-parallel mesh over all local devices (see tools/train.py);
+    # multi-host ranks join via --launcher env rendezvous first
+    init_from_launcher(args.launcher, args.tcp_port)
     mesh = make_mesh()
     args.batch_size = args.batch_size * mesh.devices.size
     world_size, rank = jax.process_count(), jax.process_index()
@@ -292,6 +308,10 @@ def main():
     logger.info('**************** Start Logging ****************')
     for key, val in vars(args).items():
         logger.info('{:16} {}'.format(key, val))
+    if args.pin_memory:
+        logger.warning('--pin_memory has no effect: host->device copies '
+                       'stage through the JAX runtime, not a pinned-memory '
+                       'torch dataloader (accepted for CLI parity)')
     log_config_to_file(cfg, logger=logger)
     if cfg.LOCAL_RANK == 0:
         os.system('cp %s %s' % (args.cfg_file, output_dir))

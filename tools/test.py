@@ -22,7 +22,8 @@ from doda_tpu.data import build_dataloader
 from doda_tpu.models import model_fn as mf
 from doda_tpu.models.unet import default_brick_caps
 from doda_tpu.ops.pointops import knn_broadcast_labels
-from doda_tpu.parallel.collectives import make_mesh, replicate, shard_batch
+from doda_tpu.parallel.collectives import (init_from_launcher, make_mesh,
+                                           replicate, shard_batch)
 from doda_tpu.utils import checkpoint as ckpt_utils
 from doda_tpu.utils.logging import get_logger
 from doda_tpu.utils.metrics import (AverageMeter, calc_metrics,
@@ -215,6 +216,7 @@ def main():
     args, _ = parse_config()
     if args.batch_size is None:
         args.batch_size = cfg.OPTIMIZATION.BATCH_SIZE_PER_GPU
+    init_from_launcher(args.launcher, args.tcp_port)
     mesh = make_mesh()
     args.batch_size = args.batch_size * mesh.devices.size
     world_size, rank = jax.process_count(), jax.process_index()

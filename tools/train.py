@@ -23,7 +23,8 @@ from doda_tpu.config import (cfg, cfg_from_list, cfg_from_yaml_file,
                              log_config_to_file)
 from doda_tpu.data import get_src_train_dataset, get_val_dataset
 from doda_tpu.models import model_fn as mf
-from doda_tpu.parallel.collectives import make_mesh, replicate, shard_batch
+from doda_tpu.parallel.collectives import (init_from_launcher, make_mesh,
+                                           replicate, shard_batch)
 from doda_tpu.models.unet import default_brick_caps
 from doda_tpu.utils import checkpoint as ckpt_utils
 from doda_tpu.utils.logging import get_logger, make_writer
@@ -264,8 +265,10 @@ def main():
     # Data parallelism: one process drives all local devices; the per-step
     # batch is batch_size (per device, like the reference's
     # BATCH_SIZE_PER_GPU) x local devices, sharded over the mesh. Multiple
-    # hosts shard the dataset via world_size/rank (ref DDP launch,
+    # hosts join the process group via --launcher env rendezvous and shard
+    # the dataset via world_size/rank (ref DDP launch,
     # util/common_utils.py:86-126).
+    init_from_launcher(args.launcher, args.tcp_port)
     mesh = make_mesh()
     n_dev = mesh.devices.size
     args.batch_size = args.batch_size * n_dev
@@ -284,6 +287,10 @@ def main():
     logger.info('JAX devices: %s' % (jax.devices(),))
     for key, val in vars(args).items():
         logger.info('{:16} {}'.format(key, val))
+    if args.pin_memory:
+        logger.warning('--pin_memory has no effect: host->device copies '
+                       'stage through the JAX runtime, not a pinned-memory '
+                       'torch dataloader (accepted for CLI parity)')
     log_config_to_file(cfg, logger=logger)
     if cfg.LOCAL_RANK == 0:
         os.system('cp %s %s' % (args.cfg_file, output_dir))
