@@ -211,7 +211,7 @@ def _view_mask(xyz_f, cam_f, mode, camera_view):
 
 
 def depth_buffer_visibility(points, camera, n_az=None, n_el=None,
-                            depth_tol=0.03):
+                            depth_tol=0.15):
     """Visible-point mask via a spherical z-buffer around ``camera``.
 
     TPU-era replacement for open3d hidden_point_removal
@@ -220,11 +220,17 @@ def depth_buffer_visibility(points, camera, n_az=None, n_el=None,
     points within ``depth_tol`` (relative) of their bin's minimum. This
     is a direct model of panoramic range-scan occlusion.
 
-    Resolution defaults to ~4 points per angular bin so occlusion
-    strength is density-independent.
+    Resolution defaults to ~2 points per angular bin so occlusion
+    strength is density-independent. The (2 pts/bin, tol 0.15) defaults
+    are calibrated against a scipy reimplementation of the reference's
+    Katz spherical-flip HPR at its shipped radius 1000
+    (tests/test_vss_distribution.py): per-scene kept-fraction within
+    ~0.9x of HPR and per-octant survival correlation ~0.99 on synthetic
+    rooms — the earlier (4 pts/bin, tol 0.03) occluded ~2.5x harder
+    than the reference's augmentation.
     """
     if n_az is None:
-        n_bins = max(64, points.shape[0] // 4)
+        n_bins = max(64, points.shape[0] // 2)
         n_az = int(math.sqrt(2 * n_bins))
         n_el = max(1, n_az // 2)
     rel = points - camera
