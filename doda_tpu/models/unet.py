@@ -299,6 +299,14 @@ class VGGBlock(nn.Module):
         return _fsubm(h, fl, w, self.dtype)
 
 
+def _remat_policy():
+    """Checkpoint policy for the U-Net blocks (see UBlock.__call__)."""
+    import os
+    if os.environ.get('DODA_REMAT', 'dots') == 'all':
+        return None                      # blanket remat: save nothing
+    return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+
+
 class UBlock(nn.Module):
     """Recursive U-stage (ref: model/unet_block.py:55-100)."""
 
@@ -314,8 +322,15 @@ class UBlock(nn.Module):
         # remat: recompute block internals (halo gathers, conv inputs) in
         # the backward pass instead of storing them — without this every
         # conv's halo stays live through backward and HBM blows up.
+        # Policy: save conv GEMM outputs (dots_with_no_batch_dims), drop
+        # everything else. The conv VJPs re-assemble their windows anyway
+        # (custom_vjp), so replaying the forward GEMMs+assembly in the
+        # backward is pure waste — with dot outputs saved the fwd replay
+        # DCEs away and backward does 2 assemblies per conv (dx, dW)
+        # instead of 3. DODA_REMAT=all restores the blanket policy
+        # (smallest HBM footprint) for A/B and memory-bound configs.
         block = nn.remat(ResidualBlock if self.residual else VGGBlock,
-                         static_argnums=(4,))
+                         static_argnums=(4,), policy=_remat_policy())
         kw = dict(dsnorm=self.dsnorm, dtype=self.dtype)
         occ, nbr = levels[level].occ, levels[level].nbr
 

@@ -558,12 +558,17 @@ def _subm_raw(x2, nbr, weights, compute_dtype, pro=None):
     # Opt-in: measured end-to-end at 3.24 (kernel) / 3.78 (xla form) vs
     # 4.59 scenes/sec for the default rows6 y-split path — the sm GEMM
     # form issues 1.5x the y-split FLOPs, which loses at the MXU-bound
-    # deep levels where the operand-read savings don't matter. Kept for
-    # future occupancy-compaction work (the operand layout is what a
-    # row-skipping kernel needs).
+    # deep levels where the operand-read savings don't matter.
+    # 'shallow': kernel only where the conv is bandwidth-bound — the
+    # wide shallow levels (cin <= DODA_SM_MAXC lanes, default 32, i.e.
+    # L0/L1 of the mid-16 flagship) whose brick count dwarfs the MXU
+    # cost; deep levels keep the FLOP-lean y-split GEMMs.
     sel_sm = os.environ.get('DODA_SM', '0')
     if os.environ.get('DODA_PALLAS', '0') != '0':
         sel_sm = '0'            # explicit first-gen kernel A/B wins
+    if sel_sm == 'shallow':
+        maxc = int(os.environ.get('DODA_SM_MAXC', '32'))
+        sel_sm = '1' if cin <= maxc else '0'
     if pro is not None and sel_sm in ('1', 'xla'):
         # the source-major engines take a materialized activation: apply
         # the prologue once up front (same traffic as the unfused path)
@@ -1073,24 +1078,30 @@ def conv1x1_2d(x2: jax.Array, occ: jax.Array, weights: jax.Array,
                compute_dtype=jnp.bfloat16) -> jax.Array:
     """Per-cell channel mix (the residual shortcut's 1x1).
 
-    Implemented as a block-diagonal GEMM so the activation never leaves
+    Implemented as block-diagonal GEMMs so the activation never leaves
     the wide-lane layout (a C-minor (rows, C) form pays 8x tile
-    padding). The 64 cells split into the smallest row groups that keep
-    k and n >= 128 lanes: rows reshape (B, 64*cin) -> (B*64/bc, bc*cin)
-    — a contiguous row-major split — and the GEMM contracts bc-cell
-    blocks, issuing bc x the useful FLOPs instead of 64x (e.g. 8x at
-    cin = 16; measured-model saving ~18 ms over the bench forward)."""
+    padding). The 64 cells split into the smallest cell groups that
+    keep k and n >= 128 lanes, and each group is a LANE SLICE fed to
+    the same (bc*cin, bc*cout) block-diagonal weight — issuing bc x the
+    useful FLOPs instead of 64x (e.g. 8x at cin = 16) without ever
+    reshaping rows. The earlier (B, 64C) -> (B*64/bc, bc*cin) row
+    reshape is NOT free on TPU: it re-tiles the whole activation
+    ((8, 128) tiles move from side-by-side to stacked), costing a
+    relayout copy of input and output that measured as an end-to-end
+    regression (PERF.md: 4.59 -> 4.29 with the round-3 1x1/shared-sort
+    pair); lane slices at bc*cin % 128 == 0 offsets are free."""
     cin, cout = weights.shape
     bc = CELLS
     for cand in (2, 4, 8, 16, 32):
         if cand * min(cin, cout) >= 128:
             bc = cand
             break
-    b = x2.shape[0]
     eye = jnp.eye(bc, dtype=compute_dtype)
     wb = (eye[:, None, :, None]
           * weights.astype(compute_dtype)[None, :, None, :])
     wb = wb.reshape(bc * cin, bc * cout)
-    rows = x2.astype(compute_dtype).reshape(b * (CELLS // bc), bc * cin)
-    out = jnp.dot(rows, wb).reshape(b, CELLS * cout).astype(x2.dtype)
+    xc = x2.astype(compute_dtype)
+    parts = [jnp.dot(xc[:, g * bc * cin:(g + 1) * bc * cin], wb)
+             for g in range(CELLS // bc)]
+    out = jnp.concatenate(parts, axis=1).astype(x2.dtype)
     return jnp.where(_occ_rep(occ, cout), out, 0)
