@@ -22,6 +22,14 @@ import jax
 if not os.environ.get('DODA_TEST_TPU'):
     jax.config.update('jax_platforms', 'cpu')
 
+# Persistent XLA compile cache: the suite's wall-clock is dominated by
+# XLA:CPU compiles of train/eval steps (the tiny 3-level train step alone
+# is ~7 min on a 1-core host). Identical jit graphs recur across tests
+# and across suite runs; the cache turns every repeat into a ~1 s load.
+jax.config.update('jax_compilation_cache_dir',
+                  os.environ.get('DODA_TEST_CCACHE', '/tmp/doda_test_ccache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 2)
+
 import numpy as np
 import pytest
 
