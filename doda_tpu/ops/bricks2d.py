@@ -125,6 +125,9 @@ def pro_full(x2: jax.Array, pro, cin: int, compute_dtype) -> jax.Array:
 def extract_tab_yz(x2: jax.Array, cin: int) -> jax.Array:
     """(B, 64C) -> (B, 80C) boundary cells facing the 8 (dy,dz) dirs.
 
+    Lane layout contract: pieces appear in ``_OFFS2`` order, each piece
+    an (x, y, z) raster over its source cells (see ``_yz_piece_plan``);
+    consumers index via the plan's start offsets, never by position.
     Pure lane-slice concat (56 runs) — one fused pass."""
     plan, total = _yz_piece_plan()
     parts = []
