@@ -110,9 +110,10 @@ def grouping(feats, idx):
 def interpolation(xyz_src, xyz_dst, feats_src, k: int = 3, src_valid=None):
     """k-NN inverse-distance-weighted feature propagation
     (ref interpolation_cuda_kernel.cu:5-48): dst feats = sum_k w_k *
-    src_feats[nn_k] with w ~ 1/d normalized."""
+    src_feats[nn_k] with w ~ 1/(d + 1e-8) normalized, d euclidean —
+    matching ref pointops2.py:192-194 exactly."""
     idx, dist = knn(k, xyz_dst, xyz_src, base_valid=src_valid)
-    w = 1.0 / (dist * dist + 1e-8)
+    w = 1.0 / (dist + 1e-8)
     w = w / w.sum(-1, keepdims=True)
     return (feats_src[idx] * w[..., None]).sum(axis=1)
 
