@@ -213,12 +213,30 @@ def _fuse_norm_ok(fl: FlatLevel) -> bool:
     return impl == '2d' or (impl == 'slab' and fl.slab is None)
 
 
+def _deep_xla_rows() -> int:
+    """Max flat-row count routed through the 3D concat-assembly engine.
+
+    The deep U-Net levels (<= a few thousand bricks) are op-DISPATCH
+    bound, not bandwidth bound: the r4 trace shows L2..L6 contribute
+    ~190 of 927 ms forward almost entirely as per-op fixed overhead
+    (~4-10 us x thousands of tiny assembly ops), while all conv GEMMs
+    together are ~60 ms. The wide-lane 2d engine lowers to ~2x the
+    stablehlo ops of ``bricks.subm_conv3_v2`` (864 vs 425 per conv), so
+    routing tiny levels through v2 trades (irrelevant) tile padding for
+    half the dispatches. 0 disables; DODA_DEEP_XLA=<rows> overrides."""
+    import os
+    return int(os.environ.get('DODA_DEEP_XLA', '0'))
+
+
 def _fsubm(x2, fl: FlatLevel, w, dtype):
     impl = _subm_impl()
     if impl == 'slab' and fl.slab is not None:
         return slabs.subm_conv3_slab(x2, fl.slab, w, dtype)
     if impl in ('2d', 'slab'):
-        return bricks2d.subm_conv3_2d(x2, fl.occ, fl.nbr, w, dtype)
+        if x2.shape[0] <= _deep_xla_rows():
+            impl = 'xla'     # deep level: dispatch-bound, use v2
+        else:
+            return bricks2d.subm_conv3_2d(x2, fl.occ, fl.nbr, w, dtype)
     b = x2.shape[0]
     cin = x2.shape[1] // CELLS
     x3 = x2.reshape(b, CELLS, cin)

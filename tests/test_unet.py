@@ -118,3 +118,11 @@ def test_unet_engine_equivalence_slab_vs_oracle(rng, monkeypatch):
     out_or = np.asarray(model.apply(variables, feats, plan, train=False))
     np.testing.assert_allclose(out_slab, out_or, rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(out_2d, out_or, rtol=2e-4, atol=2e-4)
+
+    # per-level deep routing: shallow levels on the 2d engine, levels at
+    # or under the row threshold on the v2 3D engine (DODA_DEEP_XLA)
+    monkeypatch.delenv('DODA_CONV', raising=False)
+    monkeypatch.setenv('DODA_DEEP_XLA', '600')
+    out_mixed = np.asarray(model.apply(variables, feats, plan,
+                                       train=False))
+    np.testing.assert_allclose(out_mixed, out_or, rtol=2e-4, atol=2e-4)
