@@ -217,7 +217,12 @@ def main():
     model = mf.build_model(cfg)
     tx = build_optimizer(cfg.OPTIMIZATION)
     state = mf.init_state(cfg, model, tx, jax.random.PRNGKey(0))
-    b_caps = default_brick_caps(BRICK_CAP, 7)
+    import os
+    if os.environ.get('DODA_BENCH_CAPS'):
+        b_caps = tuple(int(v) for v in
+                       os.environ['DODA_BENCH_CAPS'].split(','))
+    else:
+        b_caps = default_brick_caps(BRICK_CAP, 7)
 
     def fwd_once(params, batch_stats, coords, feats, valid):
         plan = build_level_plan(coords, valid, tuple(b_caps))

@@ -39,7 +39,12 @@ import numpy as np
 from .coords import CoordTable, pad_rows, unique_coords_packed
 from .sparse import build_subm_rulebook
 
-BRICK = 4
+# Brick side. 4 is the measured sweet spot on v5e: BRICK=2 quarters the
+# padded lane bytes at L0 (cell occupancy 22% vs 5.4%) but shifts the
+# whole level pyramid one step (2x the gather rows at every level) —
+# benched 4.327 vs 4.432 scenes/sec, a wash. All static maps derive
+# from this constant; DODA_BRICK exists for experiments/tests only.
+BRICK = int(__import__('os').environ.get('DODA_BRICK', '4'))
 CELLS = BRICK ** 3
 _H = BRICK // 2             # downsampled brick side
 WINDOWS = _H ** 3           # stride-2 output positions per brick

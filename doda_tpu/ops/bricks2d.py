@@ -70,7 +70,7 @@ def _yz_piece_plan():
     plan = {}
     start = 0
     for dy, dz in _OFFS2:
-        cells = [x * 16 + y * 4 + z
+        cells = [x * BRICK * BRICK + y * BRICK + z
                  for x in range(BRICK) for y in _src(dy) for z in _src(dz)]
         plan[(dy, dz)] = (start, cells)
         start += len(cells)
@@ -150,11 +150,20 @@ def _extract_tab_mask(occ: jax.Array) -> jax.Array:
 
 
 @functools.lru_cache(maxsize=None)
-def _plane_blocks():
-    """Static P-assembly plan: per x-row, 18 (source, lane range) blocks.
+def _plane_blocks(pm: bool = False):
+    """Static P-assembly plan: per x-row, (source, lane range) blocks.
 
     source is 'center' or a (dy, dz) dir; lane ranges are in *cells*
-    (multiply by C at trace time). Order: x-row major, then (y', z')."""
+    (multiply by C at trace time).
+
+    ``pm=False``: 18 blocks in (y', z') raster order — the layout the
+    banded weights expect natively. ``pm=True``: piece-major — 9
+    contiguous chunks [1,B,1 | B,B^2,B | 1,B,1] cells, one whole run
+    per source piece, with the matching plane-cell permutation baked
+    into the banded weights (``_pm_perm``). The raster order interleaves
+    up to 18 sub-tile (16/64-lane) writes per row, which the trace shows
+    as ~10x the write floor in the concat-emission fusions; piece-major
+    writes each source as one run."""
     plan, _ = _yz_piece_plan()
     rows = []
     for x in range(BRICK):
@@ -166,19 +175,27 @@ def _plane_blocks():
             _, cells = plan[d]
             return ('piece', d, cells.index(cell), ln)
 
-        # y' = 0: dy=-1 sources (their y == 3)
-        blocks.append(piece_lane((-1, -1), x * 16 + 15))
-        blocks.append(piece_lane((-1, 0), x * 16 + 12, 4))
-        blocks.append(piece_lane((-1, 1), x * 16 + 12))
-        # y' = 1..4: z- cell | center run | z+ cell
-        for y in range(BRICK):
-            blocks.append(piece_lane((0, -1), x * 16 + y * 4 + 3))
-            blocks.append(('center', None, x * 16 + y * 4, 4))
-            blocks.append(piece_lane((0, 1), x * 16 + y * 4))
-        # y' = 5: dy=+1 sources (their y == 0)
-        blocks.append(piece_lane((1, -1), x * 16 + 3))
-        blocks.append(piece_lane((1, 0), x * 16, 4))
-        blocks.append(piece_lane((1, 1), x * 16))
+        b2 = BRICK * BRICK
+        # y' = 0: dy=-1 sources (their y == BRICK-1)
+        blocks.append(piece_lane((-1, -1), x * b2 + b2 - 1))
+        blocks.append(piece_lane((-1, 0), x * b2 + b2 - BRICK, BRICK))
+        blocks.append(piece_lane((-1, 1), x * b2 + b2 - BRICK))
+        if pm:
+            # whole z-edge runs and the whole center block, contiguous
+            blocks.append(piece_lane((0, -1), x * b2 + BRICK - 1, BRICK))
+            blocks.append(('center', None, x * b2, b2))
+            blocks.append(piece_lane((0, 1), x * b2, BRICK))
+        else:
+            # y' = 1..BRICK: z- cell | center run | z+ cell
+            for y in range(BRICK):
+                blocks.append(piece_lane((0, -1),
+                                         x * b2 + y * BRICK + BRICK - 1))
+                blocks.append(('center', None, x * b2 + y * BRICK, BRICK))
+                blocks.append(piece_lane((0, 1), x * b2 + y * BRICK))
+        # y' = BRICK+1: dy=+1 sources (their y == 0)
+        blocks.append(piece_lane((1, -1), x * b2 + BRICK - 1))
+        blocks.append(piece_lane((1, 0), x * b2, BRICK))
+        blocks.append(piece_lane((1, 1), x * b2))
         rows.append(tuple(blocks))
     return tuple(rows)
 
@@ -189,9 +206,10 @@ OUTP = BRICK * BRICK        # 16
 
 
 @functools.lru_cache(maxsize=None)
-def _xplane_blocks(dx: int):
+def _xplane_blocks(dx: int, pm: bool = False):
     """Static plan for the halo plane at x == dx (±1): 18 blocks in
-    (y', z') raster order. Each block is ('x2', lane0, ln) — a run of
+    (y', z') raster order (9 whole-piece chunks with ``pm=True``, see
+    _plane_blocks). Each block is ('x2', lane0, ln) — a run of
     the x-neighbor brick's boundary slice — or ('piece', (dy, dz),
     sub, ln) — the facing-x sub-run of a diagonal neighbor's tab piece.
 
@@ -219,16 +237,54 @@ def _xplane_blocks(dx: int):
     blocks.append(sub((-1, -1)))
     blocks.append(sub((-1, 0)))
     blocks.append(sub((-1, 1)))
-    # y' = 1..4: (dx, 0, -1) corner col | x-neighbor center run | (dx, 0, 1)
-    for y in range(BRICK):
-        blocks.append(sub((0, -1), y))
-        blocks.append(('x2', xs * 16 + y * BRICK, BRICK))
-        blocks.append(sub((0, 1), y))
-    # y' = 5: sources at (dx, 1, dz)
+    if pm:
+        # whole corner-col runs and the whole x-neighbor boundary slice
+        blocks.append(sub((0, -1)))
+        blocks.append(('x2', xs * BRICK * BRICK, BRICK * BRICK))
+        blocks.append(sub((0, 1)))
+    else:
+        # y' = 1..BRICK: (dx,0,-1) col | x-neighbor center run | (dx,0,1)
+        for y in range(BRICK):
+            blocks.append(sub((0, -1), y))
+            blocks.append(('x2', xs * BRICK * BRICK + y * BRICK, BRICK))
+            blocks.append(sub((0, 1), y))
+    # y' = BRICK+1: sources at (dx, 1, dz)
     blocks.append(sub((1, -1)))
     blocks.append(sub((1, 0)))
     blocks.append(sub((1, 1)))
     return tuple(blocks)
+
+
+@functools.lru_cache(maxsize=None)
+def _pm_perm():
+    """Plane-cell ids (Y'*H + Z') in piece-major lane order: the Y'=0
+    raster row, the Z'=0 edge column, the BRICK^2 center block, the
+    Z'=H-1 edge column, the Y'=H-1 raster row — matching the chunk
+    order _plane_blocks/_xplane_blocks emit with pm=True. dot(row, W)
+    is invariant under a shared contraction permutation, so the banded
+    weights absorb it for free (banded_weights(pm=True))."""
+    a = list(range(H))
+    zlo = [y * H for y in range(1, BRICK + 1)]
+    ctr = [y * H + z for y in range(1, BRICK + 1)
+           for z in range(1, BRICK + 1)]
+    zhi = [y * H + H - 1 for y in range(1, BRICK + 1)]
+    b = [(H - 1) * H + z for z in range(H)]
+    return tuple(a + zlo + ctr + zhi + b)
+
+
+def _pm_active(rows: int) -> bool:
+    """Piece-major routing: DODA_PM=<min_rows> enables the layout for
+    convs with at least that many brick rows (assembly-bound shallow
+    levels); 'force' enables it everywhere (tests). The y-split windows
+    widen (PLANE-H)/(BRICK/2+2)H = 1.25x issued GEMM FLOPs, so deep
+    MXU-bound levels keep the raster layout."""
+    import os
+    v = os.environ.get('DODA_PM', '0')
+    if v == 'force':
+        return True
+    if v in ('0', ''):
+        return False
+    return rows >= int(v)
 
 
 @functools.lru_cache(maxsize=None)
@@ -338,8 +394,9 @@ def _assemble_p6(x2: jax.Array, nbr: jax.Array,
     def xplane(dx):
         xs = BRICK - 1 if dx == -1 else 0
         face = nbr[:, dir3_index(dx, 0, 0)]
-        gx2 = null_gather(x[:, xs * 16 * cin:(xs * 16 + 16) * cin], face)
-        gx2_m = (null_gather(occ[:, xs * 16:xs * 16 + 16], face, False)
+        b2 = BRICK * BRICK
+        gx2 = null_gather(x[:, xs * b2 * cin:(xs * b2 + b2) * cin], face)
+        gx2_m = (null_gather(occ[:, xs * b2:xs * b2 + b2], face, False)
                  if pro is not None else None)
         gsub, gsub_m = {}, {}
         for d in _OFFS2:
@@ -355,7 +412,7 @@ def _assemble_p6(x2: jax.Array, nbr: jax.Array,
         for blk in _xplane_blocks(dx):
             if blk[0] == 'x2':
                 _, lane0, ln = blk
-                lane0 -= xs * 16
+                lane0 -= xs * BRICK * BRICK
                 vparts.append(gx2[:, lane0 * cin:(lane0 + ln) * cin])
                 if pro is not None:
                     mparts.append(gx2_m[:, lane0:lane0 + ln])
@@ -476,7 +533,7 @@ def _assemble_sm(x2: jax.Array, nbr: jax.Array, compute_dtype):
         for blk in _xplane_blocks(dx):
             if blk[0] == 'x2':
                 _, lane0, ln = blk
-                lane0 -= xs * 16
+                lane0 -= xs * BRICK * BRICK
                 parts.append(gx2[:, lane0 * cin:(lane0 + ln) * cin])
             else:
                 _, d, pos, ln = blk
@@ -621,13 +678,14 @@ def _subm_raw(x2, nbr, weights, compute_dtype, pro=None):
     if use_pallas and pallas_banded.fits_pallas(
             x2.shape[0], cin, cout, itemsize):
         return pallas_banded.banded_conv(rows6, wb, x2.dtype)
-    # y-split: the banded weight is zero where |Y' - y| > 1, so outputs
-    # y in {0,1} only read plane lanes Y' in -1..2 ([0 : 24C]) and
-    # y in {2,3} only [12C : 36C] — plane rows are Y'-major, so both are
-    # contiguous slices. Issues 2/3 the FLOPs of the full contraction;
-    # measured 8.5 vs 10.2 ms per L0 conv step on v5e.
-    kh = 24 * cin
-    ko = 12 * cin
+    # y-split: the banded weight is zero where |Y' - y| > 1, so the low
+    # output half y in [0, BRICK/2) only reads plane lanes
+    # Y' in [0, BRICK/2 + 2) and the high half y in [BRICK/2, BRICK)
+    # only [BRICK/2, H) — plane rows are Y'-major, so both are
+    # contiguous slices (24C / 12C at BRICK=4). Issues 2/3 the FLOPs of
+    # the full contraction; measured 8.5 vs 10.2 ms per L0 conv on v5e.
+    kh = (BRICK // 2 + 2) * H * cin
+    ko = (BRICK // 2) * H * cin
     nh = (OUTP // 2) * cout
     outs = []
     for x in range(BRICK):
@@ -744,7 +802,7 @@ subm_conv3_norm_2d.defvjp(_subm_norm_fwd, _subm_norm_bwd)
 # ---------------------------------------------------------------------------
 
 def _cell(x: int, y: int, z: int) -> int:
-    return x * 16 + y * 4 + z
+    return x * BRICK * BRICK + y * BRICK + z
 
 
 @functools.lru_cache(maxsize=None)
@@ -772,8 +830,8 @@ def _ow_cells():
                 for xh in range(_H):
                     for yh in range(_H):
                         for zh in range(_H):
-                            out.append(_cell(rx * 2 + xh, ry * 2 + yh,
-                                             rz * 2 + zh))
+                            out.append(_cell(rx * _H + xh, ry * _H + yh,
+                                             rz * _H + zh))
     return tuple(out)
 
 
