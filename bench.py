@@ -122,6 +122,7 @@ def make_scene(rng):
 
 TRAIN_BATCH = 2     # batch 4 at ~150k pts needs 18.5G HBM for backward
                     # (measured); 2/chip is the realistic train config
+                    # (override: DODA_TRAIN_BATCH=N for scaling A/Bs)
 
 
 def train_bench(state, mf, cfg, b_caps, coords, feats, valid):
@@ -132,7 +133,13 @@ def train_bench(state, mf, cfg, b_caps, coords, feats, valid):
     import jax.numpy as jnp
     from doda_tpu.utils.optim import build_optimizer
 
-    coords, feats, valid = (a[:TRAIN_BATCH] for a in (coords, feats, valid))
+    import os
+    tb = int(os.environ.get('DODA_TRAIN_BATCH', TRAIN_BATCH))
+    if tb > len(coords):    # bench synthesizes BATCH scenes; tile if asked
+        reps = -(-tb // len(coords))
+        coords, feats, valid = (np.tile(a, (reps,) + (1,) * (a.ndim - 1))
+                                for a in (coords, feats, valid))
+    coords, feats, valid = (a[:tb] for a in (coords, feats, valid))
     tx = build_optimizer(cfg.OPTIMIZATION)
     train_step, _, _ = mf.make_steps(cfg, mf.build_model(cfg), tx, b_caps)
     labels = np.where(valid, np.random.default_rng(1).integers(
@@ -149,10 +156,14 @@ def train_bench(state, mf, cfg, b_caps, coords, feats, valid):
         state, m = train_step(state, batch, 0.1, 0)
     float(m['loss'])
     step_t = (time.perf_counter() - t0) / n
+    try:        # peak HBM: headroom for batch-scaling A/Bs
+        ms = jax.local_devices()[0].memory_stats() or {}
+        peak_gb = round(ms.get('peak_bytes_in_use', 0) / 2**30, 2)
+    except Exception:
+        peak_gb = None
 
     # real input pipeline at bench scale: synthetic ScanNet scenes through
     # the actual reader + augmentor + padded collate + thread workers
-    import os
     import subprocess
     root = '/tmp/bench_synth'
     if not os.path.exists(os.path.join(root, 'scannetv2', 'train')):
@@ -165,7 +176,7 @@ def train_bench(state, mf, cfg, b_caps, coords, feats, valid):
     cfg_from_yaml_file('cfgs/scannet/spconv.yaml', dcfg)
     dcfg.DATA_CONFIG.DATA_ROOT = os.path.join(root, 'scannetv2')
     from doda_tpu.data import build_dataloader
-    _, loader, _ = build_dataloader(dcfg.DATA_CONFIG, TRAIN_BATCH,
+    _, loader, _ = build_dataloader(dcfg.DATA_CONFIG, tb,
                                     dist=False, workers=4,
                                     split='training', training=True)
     it = iter(loader)
@@ -177,11 +188,12 @@ def train_bench(state, mf, cfg, b_caps, coords, feats, valid):
         n_data += 1
     data_t = (time.perf_counter() - t0) / n_data
     print(json.dumps({
-        'train_batch': TRAIN_BATCH,
-        'train_step_scenes_per_sec': round(TRAIN_BATCH / step_t, 3),
+        'train_batch': tb,
+        'train_step_scenes_per_sec': round(tb / step_t, 3),
         'step_time_s': round(step_t, 4),
         'data_batch_time_s': round(data_t, 4),
         'data_over_batch': round(data_t / step_t, 4),
+        'peak_hbm_gb': peak_gb,
     }), file=sys.stderr)
 
 
