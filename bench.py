@@ -4,8 +4,9 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "scenes/sec/chip", "vs_baseline": N}
 
 Scenes are synthetic but ScanNet-val shaped: ~150k surface points per
-scene at voxel_scale 50 (~140k occupied voxels, ~20k 4^3 bricks), batch 4,
-the flagship 7-level mid-16 sparse U-Net (ref model/unet.py:15-69).
+scene at voxel_scale 50 (~140k occupied voxels, ~40.3k occupied 4^3
+bricks — BRICK_CAP below is sized to clear that), batch 4, the flagship
+7-level mid-16 sparse U-Net (ref model/unet.py:15-69).
 
 ``vs_baseline`` normalizes by the north-star target from BASELINE.md:
 5x an estimated reference GPU throughput. The reference publishes no
@@ -135,6 +136,7 @@ def train_bench(state, mf, cfg, b_caps, coords, feats, valid):
 
     import os
     tb = int(os.environ.get('DODA_TRAIN_BATCH', TRAIN_BATCH))
+    assert tb >= 1, f'DODA_TRAIN_BATCH must be >= 1, got {tb}'
     if tb > len(coords):    # bench synthesizes BATCH scenes; tile if asked
         reps = -(-tb // len(coords))
         coords, feats, valid = (np.tile(a, (reps,) + (1,) * (a.ndim - 1))
@@ -158,7 +160,8 @@ def train_bench(state, mf, cfg, b_caps, coords, feats, valid):
     step_t = (time.perf_counter() - t0) / n
     try:        # peak HBM: headroom for batch-scaling A/Bs
         ms = jax.local_devices()[0].memory_stats() or {}
-        peak_gb = round(ms.get('peak_bytes_in_use', 0) / 2**30, 2)
+        peak = ms.get('peak_bytes_in_use')
+        peak_gb = round(peak / 2**30, 2) if peak else None
     except Exception:
         peak_gb = None
 

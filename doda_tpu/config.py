@@ -118,10 +118,10 @@ def cfg_from_list(cfg_list, config):
         key_list = k.split('.')
         d = config
         for subkey in key_list[:-1]:
-            assert subkey in d, 'NotFoundKey: %s' % subkey
+            assert subkey in d, f'--set: no such config key: {subkey!r}'
             d = d[subkey]
         subkey = key_list[-1]
-        assert subkey in d, 'NotFoundKey: %s' % subkey
+        assert subkey in d, f'--set: no such config key: {subkey!r}'
         try:
             value = literal_eval(v)
         except (ValueError, SyntaxError):
@@ -140,8 +140,8 @@ def cfg_from_list(cfg_list, config):
             d[subkey] = [elem_type(x) for x in val_list]
         else:
             assert type(value) == type(d[subkey]), (
-                'type {} does not match original type {}'.format(
-                    type(value), type(d[subkey])))
+                f'--set {k}: new value has type {type(value).__name__}, '
+                f'existing value is {type(d[subkey]).__name__}')
             d[subkey] = value
 
 

@@ -315,26 +315,14 @@ def _occ_rep(occ: jax.Array, cout: int) -> jax.Array:
     return jnp.repeat(occ, cout, axis=1)
 
 
-def _dup48(parts):
-    """Reorder an 18-block (Y'-major, 3 blocks per plane row) part list
-    into the duplicated-halves layout [Y' -1..2 | Y' 1..4] (48C lanes):
-    both y-split GEMM halves become 128-aligned lane slices at any
-    cin % 16 == 0 (the plain 36C row's hi half starts at 12C lanes,
-    which is 128-aligned only for cin % 32 == 0)."""
-    assert len(parts) == 18
-    return parts[0:12] + parts[6:18]
-
-
 def _assemble_p6(x2: jax.Array, nbr: jax.Array,
-                 compute_dtype, pro=None, dup48: bool = False) -> list:
+                 compute_dtype, pro=None) -> list:
     """Halo-plane assembly: (B, 64*cin) -> list of 6 (B, 36*cin) rows
     [x=-1 plane, 4 in-brick planes, x=+4 plane] for the shifted GEMMs.
 
     ``pro``: optional (scale, bias, occ) norm+ReLU prologue — values
     assemble raw alongside a parallel (B, 36) mask assembly, and
-    _apply_pro runs once per row. ``dup48``: emit 48C rows with the
-    Y' 1..2 blocks duplicated (see _dup48) for the y-split Mosaic
-    kernel."""
+    _apply_pro runs once per row."""
     b, lanes = x2.shape
     cin = lanes // CELLS
     x = x2.astype(compute_dtype)
@@ -361,12 +349,8 @@ def _assemble_p6(x2: jax.Array, nbr: jax.Array,
                 tab_m[:, st:st + len(cells)], nbr[:, col], False)
 
     def finish(vparts, mparts):
-        if dup48:
-            vparts = _dup48(vparts)
         row = jnp.concatenate(vparts, axis=1)
         if pro is not None:
-            if dup48:
-                mparts = _dup48(mparts)
             row = _apply_pro(row, jnp.concatenate(mparts, axis=1), pro,
                              cin, compute_dtype)
         return row
@@ -657,22 +641,16 @@ def _subm_raw(x2, nbr, weights, compute_dtype, pro=None):
                            cin, cout).astype(x2.dtype)
     wb = banded_weights(weights.astype(compute_dtype))
     # DODA_PALLAS: '1' enables the gen-1 fused kernel on TPU (full
-    # contraction), '2' the gen-2 y-split kernel over duplicated-halves
-    # 48C rows (2/3 FLOPs, each row still read once); 'force'/'force2'
-    # enable them off-TPU (interpret mode, for tests). Default OFF:
-    # standalone gen-1 matches the XLA GEMMs (10.2 vs 10.5 ms at the L0
-    # bench shape), but in-model it measured 3.05 vs 4.37 scenes/sec —
-    # the pallas_call serializes against surrounding assembly fusions
-    # that XLA otherwise overlaps. Gen-2 exists to re-test that with
-    # FLOP parity.
+    # contraction); 'force' enables it off-TPU (interpret mode, for
+    # tests). Default OFF: standalone gen-1 matches the XLA GEMMs
+    # (10.2 vs 10.5 ms at the L0 bench shape), but in-model it measured
+    # 3.05 vs 4.37 scenes/sec — the pallas_call serializes against
+    # surrounding assembly fusions that XLA otherwise overlaps. A gen-2
+    # FLOP-parity variant ('2') hung the chip and was deleted in round 5
+    # (see pallas_banded.py docstring).
     sel = os.environ.get('DODA_PALLAS', '0')
     on_tpu = jax.default_backend() == 'tpu'
     itemsize = jnp.dtype(compute_dtype).itemsize
-    if ((sel == 'force2' or (sel == '2' and on_tpu))
-            and pallas_banded.fits_pallas2(x2.shape[0], cin, cout,
-                                           itemsize)):
-        rows48 = _assemble_p6(x2, nbr, compute_dtype, pro, dup48=True)
-        return pallas_banded.banded_conv2(rows48, wb, x2.dtype)
     rows6 = _assemble_p6(x2, nbr, compute_dtype, pro)
     use_pallas = (sel == 'force' or (sel == '1' and on_tpu))
     if use_pallas and pallas_banded.fits_pallas(

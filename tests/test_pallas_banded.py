@@ -2,6 +2,17 @@
 the compiled kernel is exercised on the real chip by bench.py's
 kernel_check)."""
 
+import os as _os
+import pytest as _pytest
+
+# Frozen opt-in engine (PERF.md "engine garden disposition"): receives no
+# optimization work by declaration; its equivalence tests double as
+# documentation but cost multi-minute XLA:CPU compiles on the 8-dev mesh.
+# Run with DODA_TEST_FROZEN=1 (weekly/full runs).
+pytestmark = _pytest.mark.skipif(
+    _os.environ.get('DODA_TEST_FROZEN') != '1',
+    reason='frozen opt-in engine; set DODA_TEST_FROZEN=1 to run')
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -63,54 +74,6 @@ def test_banded_kernel_sparse_grads(force_pallas):
                                rtol=1e-4, atol=1e-4)
 
 
-def test_banded_kernel2_matches_oracle(monkeypatch):
-    """Gen-2 y-split kernel (duplicated-halves rows) vs the oracle,
-    forward and custom-VJP gradients, plus the fused norm prologue."""
-    from doda_tpu.ops.pallas_banded import fits_pallas2
-    monkeypatch.setenv('DODA_PALLAS', 'force2')
-    g, nbr, rng = _grid(7, 4096, 24, 512)
-    for cin, cout in ((16, 16), (32, 16)):
-        assert fits_pallas2(512, cin, cout, 4)
-        f = rng.normal(size=(512, bricks.CELLS, cin)).astype(np.float32)
-        f = f * np.asarray(g.occ)[..., None]
-        w = jnp.asarray(
-            rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1)
-        want = np.asarray(bricks.subm_conv3(
-            jnp.asarray(f), g.occ, nbr, w, compute_dtype=jnp.float32))
-        got = np.asarray(bricks2d.subm_conv3_2d(
-            jnp.asarray(f.reshape(512, -1)), g.occ, nbr, w,
-            compute_dtype=jnp.float32))
-        np.testing.assert_allclose(got.reshape(want.shape), want,
-                                   rtol=1e-5, atol=1e-5)
-
-    cin = cout = 16
-    f = jnp.asarray(rng.normal(size=(512, bricks.CELLS * cin))
-                    .astype(np.float32))
-    w = jnp.asarray(rng.normal(size=(27, cin, cout)).astype(np.float32)
-                    * 0.1)
-    gx2, gw2 = jax.grad(
-        lambda x, w: (bricks2d.subm_conv3_2d(
-            x, g.occ, nbr, w, compute_dtype=jnp.float32) ** 2).sum(),
-        argnums=(0, 1))(f, w)
-    monkeypatch.setenv('DODA_PALLAS', '0')
-    gx3, gw3 = jax.grad(
-        lambda x, w: (bricks2d.subm_conv3_2d(
-            x, g.occ, nbr, w, compute_dtype=jnp.float32) ** 2).sum(),
-        argnums=(0, 1))(f, w)
-    np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx3),
-                               rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(gw2), np.asarray(gw3),
-                               rtol=1e-4, atol=1e-4)
-
-    # fused norm prologue rides the dup48 assembly too
-    monkeypatch.setenv('DODA_PALLAS', 'force2')
-    scale = jnp.asarray(rng.normal(size=(cin,)).astype(np.float32) + 1.0)
-    bias = jnp.asarray(rng.normal(size=(cin,)).astype(np.float32) * 0.3)
-    st, bt = jnp.tile(scale, bricks.CELLS), jnp.tile(bias, bricks.CELLS)
-    h = jnp.where(jnp.repeat(g.occ, cin, axis=1),
-                  jnp.maximum(f * st + bt, 0), 0)
-    want_n = np.asarray(bricks2d.subm_conv3_2d(
-        h, g.occ, nbr, w, compute_dtype=jnp.float32))
-    got_n = np.asarray(bricks2d.subm_conv3_norm_2d(
-        f, g.occ, nbr, w, scale, bias, compute_dtype=jnp.float32))
-    np.testing.assert_allclose(got_n, want_n, rtol=1e-5, atol=1e-5)
+# Gen-2 y-split kernel (DODA_PALLAS=2, duplicated-halves 48C rows) was
+# deleted in round 5: it hung the real chip during bench kernel_check
+# (see pallas_banded.py docstring); its oracle/grad coverage went with it.

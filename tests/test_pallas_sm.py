@@ -3,6 +3,17 @@
 DODA_SM_INTERPRET; the compiled kernel is exercised on the real chip by
 bench.py's kernel_check)."""
 
+import os as _os
+import pytest as _pytest
+
+# Frozen opt-in engine (PERF.md "engine garden disposition"): receives no
+# optimization work by declaration; its equivalence tests double as
+# documentation but cost multi-minute XLA:CPU compiles on the 8-dev mesh.
+# Run with DODA_TEST_FROZEN=1 (weekly/full runs).
+pytestmark = _pytest.mark.skipif(
+    _os.environ.get('DODA_TEST_FROZEN') != '1',
+    reason='frozen opt-in engine; set DODA_TEST_FROZEN=1 to run')
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -47,15 +47,14 @@ def main():
         w = jnp.asarray(
             rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1)
 
-        for mode in ('0', 'xla', 'sm1', 'p1', 'p2'):
+        for mode in ('0', 'xla', 'sm1', 'p1'):
             # '0' = rows6 y-split XLA GEMMs (production default),
             # 'xla'/'sm1' = source-major XLA / fused kernel,
-            # 'p1'/'p2' = banded Mosaic kernels gen-1 (full) / gen-2
-            # (y-split over duplicated-halves rows)
+            # 'p1' = banded Mosaic kernel gen-1 (full contraction);
+            # gen-2 ('p2') was deleted in round 5 (hung the chip)
             os.environ['DODA_SM'] = {'xla': 'xla', 'sm1': '1'}.get(mode,
                                                                    '0')
-            os.environ['DODA_PALLAS'] = {'p1': '1', 'p2': '2'}.get(mode,
-                                                                   '0')
+            os.environ['DODA_PALLAS'] = '1' if mode == 'p1' else '0'
 
             def chain(x, w, n):
                 acc = jnp.float32(0)
