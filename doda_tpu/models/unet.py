@@ -317,11 +317,21 @@ class VGGBlock(nn.Module):
         return _fsubm(h, fl, w, self.dtype)
 
 
-def _remat_policy():
-    """Checkpoint policy for the U-Net blocks (see UBlock.__call__)."""
+def _remat_policy(level: int = 0):
+    """Checkpoint policy for the U-Net blocks (see UBlock.__call__).
+
+    ``dots`` (default): save conv GEMM outputs, recompute assembly —
+    measured +9% train throughput over blanket (PERF.md round 4).
+    ``all``: blanket remat, save nothing — smallest HBM footprint.
+    ``mixN`` (e.g. mix2): blanket at levels < N (whose saved dot outputs
+    are the multi-GB rows at L0/L1), dots deeper (small, keeps most of
+    the backward speedup) — the batch-4 memory configuration."""
     import os
-    if os.environ.get('DODA_REMAT', 'dots') == 'all':
+    v = os.environ.get('DODA_REMAT', 'dots')
+    if v == 'all':
         return None                      # blanket remat: save nothing
+    if v.startswith('mix') and level < int(v[3:] or 2):
+        return None
     return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
 
 
@@ -348,7 +358,7 @@ class UBlock(nn.Module):
         # instead of 3. DODA_REMAT=all restores the blanket policy
         # (smallest HBM footprint) for A/B and memory-bound configs.
         block = nn.remat(ResidualBlock if self.residual else VGGBlock,
-                         static_argnums=(4,), policy=_remat_policy())
+                         static_argnums=(4,), policy=_remat_policy(level))
         kw = dict(dsnorm=self.dsnorm, dtype=self.dtype)
         occ, nbr = levels[level].occ, levels[level].nbr
 

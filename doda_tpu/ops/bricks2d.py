@@ -275,11 +275,17 @@ def _pm_perm():
 def _pm_active(rows: int) -> bool:
     """Piece-major routing: DODA_PM=<min_rows> enables the layout for
     convs with at least that many brick rows (assembly-bound shallow
-    levels); 'force' enables it everywhere (tests). The y-split windows
-    widen (PLANE-H)/(BRICK/2+2)H = 1.25x issued GEMM FLOPs, so deep
-    MXU-bound levels keep the raster layout."""
+    levels); 'force' enables it everywhere (tests); '0' disables. The
+    y-split windows widen (PLANE-H)/(BRICK/2+2)H = 1.25x issued GEMM
+    FLOPs, so deep MXU-bound levels keep the raster layout.
+
+    Default 20000 (L0/L1 of the bench flagship): measured 4.505 vs
+    4.434 scenes/sec (round 5) — the 9-chunk emission beats the 18
+    interleaved sub-tile writes where assembly dominates; all-levels
+    'force' measured slightly lower on the train step (1.425 vs
+    1.462 scenes/sec trained)."""
     import os
-    v = os.environ.get('DODA_PM', '0')
+    v = os.environ.get('DODA_PM', '20000')
     if v == 'force':
         return True
     if v in ('0', ''):
@@ -302,11 +308,17 @@ def _band_np(cin: int, cout: int):
     return m
 
 
-def banded_weights(w: jax.Array) -> jax.Array:
-    """(27, cin, cout) raster (dx,dy,dz) -> (3, 36*cin, 16*cout)."""
+def banded_weights(w: jax.Array, pm: bool = False) -> jax.Array:
+    """(27, cin, cout) raster (dx,dy,dz) -> (3, 36*cin, 16*cout).
+
+    ``pm``: permute the contraction (plane-cell) dim into piece-major
+    lane order (``_pm_perm``) to match rows assembled with pm=True —
+    dot(row, W) is invariant under a shared contraction permutation."""
     cin, cout = w.shape[1], w.shape[2]
     m = jnp.asarray(_band_np(cin, cout), w.dtype)
     wb = jnp.einsum('pqrk,kio->pqiro', m, w)
+    if pm:
+        wb = wb[:, jnp.asarray(_pm_perm())]
     return wb.reshape(3, PLANE * cin, OUTP * cout)
 
 
@@ -316,13 +328,16 @@ def _occ_rep(occ: jax.Array, cout: int) -> jax.Array:
 
 
 def _assemble_p6(x2: jax.Array, nbr: jax.Array,
-                 compute_dtype, pro=None) -> list:
+                 compute_dtype, pro=None, pm: bool = False) -> list:
     """Halo-plane assembly: (B, 64*cin) -> list of 6 (B, 36*cin) rows
     [x=-1 plane, 4 in-brick planes, x=+4 plane] for the shifted GEMMs.
 
     ``pro``: optional (scale, bias, occ) norm+ReLU prologue — values
     assemble raw alongside a parallel (B, 36) mask assembly, and
-    _apply_pro runs once per row."""
+    _apply_pro runs once per row. ``pm``: piece-major lane order (9
+    whole-source chunks per row instead of 18 raster-interleaved
+    sub-tile writes; see _plane_blocks) — consumers must use
+    banded_weights(pm=True) and the widened y-split slices."""
     b, lanes = x2.shape
     cin = lanes // CELLS
     x = x2.astype(compute_dtype)
@@ -356,7 +371,7 @@ def _assemble_p6(x2: jax.Array, nbr: jax.Array,
         return row
 
     rows = []                                   # 4 center planes (B, 36C)
-    for blocks in _plane_blocks():
+    for blocks in _plane_blocks(pm):
         vparts, mparts = [], []
         for kind, d, lane0, ln in blocks:
             if kind == 'center':
@@ -393,7 +408,7 @@ def _assemble_p6(x2: jax.Array, nbr: jax.Array,
                 gsub_m[d] = null_gather(tab_m[:, lo:lo + n_sub], col,
                                         False)
         vparts, mparts = [], []
-        for blk in _xplane_blocks(dx):
+        for blk in _xplane_blocks(dx, pm):
             if blk[0] == 'x2':
                 _, lane0, ln = blk
                 lane0 -= xs * BRICK * BRICK
@@ -639,7 +654,6 @@ def _subm_raw(x2, nbr, weights, compute_dtype, pro=None):
                     x, gyz, gxm, gxp, wc, wh, wx, x2.dtype)
             return _sm_xla(x, gyz, gxm, gxp, wc, wh, wx,
                            cin, cout).astype(x2.dtype)
-    wb = banded_weights(weights.astype(compute_dtype))
     # DODA_PALLAS: '1' enables the gen-1 fused kernel on TPU (full
     # contraction); 'force' enables it off-TPU (interpret mode, for
     # tests). Default OFF: standalone gen-1 matches the XLA GEMMs
@@ -651,8 +665,10 @@ def _subm_raw(x2, nbr, weights, compute_dtype, pro=None):
     sel = os.environ.get('DODA_PALLAS', '0')
     on_tpu = jax.default_backend() == 'tpu'
     itemsize = jnp.dtype(compute_dtype).itemsize
-    rows6 = _assemble_p6(x2, nbr, compute_dtype, pro)
     use_pallas = (sel == 'force' or (sel == '1' and on_tpu))
+    pm = _pm_active(x2.shape[0]) and not use_pallas
+    wb = banded_weights(weights.astype(compute_dtype), pm=pm)
+    rows6 = _assemble_p6(x2, nbr, compute_dtype, pro, pm=pm)
     if use_pallas and pallas_banded.fits_pallas(
             x2.shape[0], cin, cout, itemsize):
         return pallas_banded.banded_conv(rows6, wb, x2.dtype)
@@ -662,8 +678,14 @@ def _subm_raw(x2, nbr, weights, compute_dtype, pro=None):
     # only [BRICK/2, H) — plane rows are Y'-major, so both are
     # contiguous slices (24C / 12C at BRICK=4). Issues 2/3 the FLOPs of
     # the full contraction; measured 8.5 vs 10.2 ms per L0 conv on v5e.
-    kh = (BRICK // 2 + 2) * H * cin
-    ko = (BRICK // 2) * H * cin
+    # Piece-major rows aren't Y'-sorted, so the pm windows widen to the
+    # contiguous over-approximations [everything but the Y'=H-1 raster
+    # row] / [everything but the Y'=0 row] — (PLANE-H)/((BRICK/2+2)*H)
+    # = 1.25x issued FLOPs, the price of the single-chunk assembly.
+    if pm:
+        kh, ko = (PLANE - H) * cin, H * cin
+    else:
+        kh, ko = (BRICK // 2 + 2) * H * cin, (BRICK // 2) * H * cin
     nh = (OUTP // 2) * cout
     outs = []
     for x in range(BRICK):
@@ -682,6 +704,18 @@ def _subm2d_fwd(x2, occ, nbr, weights, compute_dtype):
             (x2, occ, nbr, weights))
 
 
+def _dwb_to_dw(dwb: jax.Array, cin: int, cout: int, pm: bool) -> jax.Array:
+    """Banded dW (3, 36*cin, 16*cout) -> raster (27, cin, cout). With
+    ``pm`` the banded rows are in piece-major lane order; un-permute
+    before the band contraction."""
+    d5 = dwb.reshape(3, PLANE, cin, OUTP, cout)
+    if pm:
+        iperm = np.argsort(np.asarray(_pm_perm()))
+        d5 = d5[:, jnp.asarray(iperm)]
+    m = jnp.asarray(_band_np(cin, cout), jnp.float32)
+    return jnp.einsum('pqrk,pqiro->kio', m, d5)
+
+
 def _subm2d_bwd(compute_dtype, res, g):
     x2, occ, nbr, weights = res
     b = x2.shape[0]
@@ -693,16 +727,15 @@ def _subm2d_bwd(compute_dtype, res, g):
     dx = _subm_raw(g, nbr, _flip_weights(weights), compute_dtype)
     # dW: contract re-assembled windows against g (remat the assembly —
     # storing the halo rows across the whole network would blow HBM)
-    rows6 = _assemble_p6(x2, nbr, compute_dtype)
+    pm = _pm_active(b)
+    rows6 = _assemble_p6(x2, nbr, compute_dtype, pm=pm)
     g4 = g.reshape(b, BRICK, OUTP * cout).astype(compute_dtype)
     dwb = jnp.stack([
         sum(jnp.einsum('bk,bn->kn', rows6[i + x], g4[:, x],
                        preferred_element_type=jnp.float32)
             for x in range(BRICK))
         for i in range(3)])
-    m = jnp.asarray(_band_np(cin, cout), jnp.float32)
-    d5 = dwb.reshape(3, PLANE, cin, OUTP, cout)
-    dw = jnp.einsum('pqrk,pqiro->kio', m, d5)
+    dw = _dwb_to_dw(dwb, cin, cout, pm)
     return dx.astype(x2.dtype), None, None, dw.astype(weights.dtype)
 
 
@@ -758,16 +791,15 @@ def _subm_norm_bwd(compute_dtype, res, g):
         b, CELLS, cin).sum((0, 1))
     dbias = dh_live.reshape(b, CELLS, cin).sum((0, 1))
     # dW: re-assemble the prologue windows, contract against g
-    rows6 = _assemble_p6(x2, nbr, compute_dtype, (scale, bias, occ))
+    pm = _pm_active(b)
+    rows6 = _assemble_p6(x2, nbr, compute_dtype, (scale, bias, occ), pm=pm)
     g4 = g.reshape(b, BRICK, OUTP * cout).astype(compute_dtype)
     dwb = jnp.stack([
         sum(jnp.einsum('bk,bn->kn', rows6[i + x], g4[:, x],
                        preferred_element_type=jnp.float32)
             for x in range(BRICK))
         for i in range(3)])
-    m = jnp.asarray(_band_np(cin, cout), jnp.float32)
-    d5 = dwb.reshape(3, PLANE, cin, OUTP, cout)
-    dw = jnp.einsum('pqrk,pqiro->kio', m, d5)
+    dw = _dwb_to_dw(dwb, cin, cout, pm)
     return (dx, None, None, dw.astype(weights.dtype),
             dscale.astype(scale.dtype), dbias.astype(bias.dtype))
 

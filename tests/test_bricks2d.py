@@ -338,3 +338,46 @@ def test_down_up_norm_2d_match_explicit(grid):
     for a, b_ in zip(ge, gf):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_subm_conv_2d_piece_major_matches_raster(sparse_grid, monkeypatch):
+    """DODA_PM (piece-major assembly: 9 whole-source chunks per plane
+    row + permuted banded weights + widened y-split) must be cell-exact
+    vs the default raster assembly, forward and both VJPs, including the
+    fused norm prologue. The sparse fixture exercises missing-face-
+    neighbor x-planes under the permuted block plan."""
+    g, nbr, rng = sparse_grid
+    cin = cout = 8
+    feats = make_feats(rng, g.b_cap, cin, g.occ).reshape(g.b_cap, -1)
+    w = jnp.asarray(
+        rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1)
+
+    def loss(x, w):
+        return (bricks2d.subm_conv3_2d(
+            x, g.occ, nbr, w, compute_dtype=jnp.float32) ** 2).sum()
+
+    monkeypatch.setenv('DODA_PM', '0')
+    want = np.asarray(bricks2d.subm_conv3_2d(
+        feats, g.occ, nbr, w, compute_dtype=jnp.float32))
+    gx0, gw0 = jax.grad(loss, argnums=(0, 1))(feats, w)
+    monkeypatch.setenv('DODA_PM', 'force')
+    got = np.asarray(bricks2d.subm_conv3_2d(
+        feats, g.occ, nbr, w, compute_dtype=jnp.float32))
+    gx1, gw1 = jax.grad(loss, argnums=(0, 1))(feats, w)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx0),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw0),
+                               rtol=1e-4, atol=1e-4)
+
+    # fused norm prologue rides the pm assembly too
+    scale = jnp.asarray(rng.normal(size=(cin,)).astype(np.float32) + 1.0)
+    bias = jnp.asarray(rng.normal(size=(cin,)).astype(np.float32) * 0.3)
+    raw = jnp.asarray(rng.normal(size=feats.shape).astype(np.float32))
+    monkeypatch.setenv('DODA_PM', '0')
+    want_n = np.asarray(bricks2d.subm_conv3_norm_2d(
+        raw, g.occ, nbr, w, scale, bias, compute_dtype=jnp.float32))
+    monkeypatch.setenv('DODA_PM', 'force')
+    got_n = np.asarray(bricks2d.subm_conv3_norm_2d(
+        raw, g.occ, nbr, w, scale, bias, compute_dtype=jnp.float32))
+    np.testing.assert_allclose(got_n, want_n, rtol=1e-5, atol=1e-5)
