@@ -26,14 +26,18 @@ import time
 import numpy as np
 
 BATCH = 4
-# 3*2^16: the sqrt(2)-spaced collate bucket a 150k-pt scene lands in
-# (pow2-only 262144 pads every point-level sort/scatter/gather 1.75x)
-N_CAP = 196608
+# 1.25*2^17: the quarter-step collate bucket a 150k-pt scene lands in
+# (the sqrt2 bucket 196608 pads every point-level sort/scatter/gather
+# 1.31x; quarter-step spacing {2^k, 1.25, 1.5, 1.75} costs 2x the
+# compile variants in production and trims padding to <=1.25x)
+N_CAP = 163840
 N_REAL = 150_000
-# Measured: the synthetic scenes hold ~40.3k occupied 4^3 bricks each.
-# 24576 (round 1) silently dropped 39% of every scene's bricks — cap must
-# clear the real count or the bench measures a truncated model.
-BRICK_CAP = 49152
+# Measured (round 5, exact): the synthetic scenes hold 40,250-40,356
+# occupied 4^3 bricks each. 24576 (round 1) silently dropped 39% of every
+# scene's bricks — cap must clear the real count or the bench measures a
+# truncated model; capacity_audit() below machine-checks that no level
+# overflows at these caps, every run.
+BRICK_CAP = 40960
 TARGET_SCENES_PER_SEC = 75.0
 
 
@@ -107,6 +111,26 @@ def kernel_check():
     assert err_n < 1e-3, f'subm_conv3_norm_2d drift on device: {err_n}'
     print(f'kernel check ok (2d+v2 subm, 2d down/up vs oracle on device)',
           file=sys.stderr)
+
+
+def capacity_audit(coords, valid, b_caps):
+    """Host-side proof that the caps drop nothing: per-scene occupied
+    brick counts at every U-Net level vs the capacity schedule. Round 1
+    measured an inflated number by silently truncating 39% of the scene;
+    this assert makes the honesty parameter machine-checked instead of a
+    comment."""
+    from doda_tpu.ops.bricks import BRICK
+    for b in range(coords.shape[0]):
+        bc = coords[b][valid[b]] // BRICK
+        for lvl, cap in enumerate(b_caps):
+            occ = len(np.unique(bc >> lvl, axis=0))
+            assert occ <= cap, (
+                f'scene {b} level {lvl}: {occ} occupied bricks > cap '
+                f'{cap} — bench caps truncate the scene')
+    n_pts = int(valid.sum(1).max())
+    assert n_pts <= N_CAP, f'{n_pts} pts > N_CAP {N_CAP}'
+    print(f'capacity audit ok: worst scene fits every level '
+          f'(caps {tuple(b_caps)})', file=sys.stderr)
 
 
 def make_scene(rng):
@@ -256,6 +280,7 @@ def main():
                        os.environ['DODA_BENCH_CAPS'].split(','))
     else:
         b_caps = default_brick_caps(BRICK_CAP, 7)
+    capacity_audit(coords, valid, b_caps)
 
     def fwd_once(params, batch_stats, coords, feats, valid):
         plan = build_level_plan(coords, valid, tuple(b_caps))

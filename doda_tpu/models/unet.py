@@ -72,19 +72,26 @@ def default_brick_caps(b_cap0: int, num_levels: int,
     stride-2 level (a surface through an N^3 region covers ~N^2 bricks).
     The old halving schedule left deep levels at 0.5-6% utilization —
     the deep-level conv GEMMs were >90% empty cap rows. Measured shrink
-    factors on ScanNet-shaped scenes: ~2.8x at level 1, >=5x deeper.
-    Level 1 gets 0.4*b0 (~1.4x margin) and each further level a quarter
-    of that (>=2x margin at every level), rounded up to 128 rows.
-    Overflowing bricks fall into the null slot (dropped) — CLIs warn via
+    factors per scene on ScanNet-shaped surfaces (round 5, exact counts
+    at 150k pts: 40,356 -> 14,573 -> 2,046 -> 275 -> 48): 2.77x at
+    level 1, then ~7x at levels 2-3 (surfaces turn volume-like relative
+    to the growing brick extent), settling back toward 4x at the tiny
+    tail. Level 1 gets 0.4*b0 (covers a worst-case 2.5x surface shrink
+    even when b0 is exactly full), levels 2-3 divide by 5 (1.6-2.8x
+    margin vs the measured 7x) and the tail divides by 4, rounded up to
+    128 rows. Every per-row engine cost (gathers, DUS, GEMM issue)
+    scales with cap, so margin above the audit's comfort is pure waste:
+    the old /4 tail schedule padded L2 2.4x and L3 4.7x. Overflowing
+    bricks fall into the null slot (dropped) — CLIs warn via
     data.dataset.check_brick_capacity."""
     def r128(v):
         return max((v + 127) // 128 * 128, floor)
 
     caps = [max(b_cap0, floor)]
     c = b_cap0 * 2 // 5
-    for _ in range(1, num_levels):
+    for lvl in range(1, num_levels):
         caps.append(r128(c))
-        c //= 4
+        c //= 5 if lvl <= 2 else 4
     return tuple(caps)
 
 
