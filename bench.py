@@ -149,9 +149,12 @@ def make_scene(rng):
     return np.clip(c, 0, 2047)
 
 
-TRAIN_BATCH = 2     # batch 4 at ~150k pts needs 18.5G HBM for backward
-                    # (measured); 2/chip is the realistic train config
-                    # (override: DODA_TRAIN_BATCH=N for scaling A/Bs)
+TRAIN_BATCH = 2     # batch 4 FITS since round 5 (cap trimming + the
+                    # MaskedBatchNorm C-minor backward fix freed ~9 GB)
+                    # but measures 1.93 vs batch 2's 2.08 scenes/sec —
+                    # 2/chip is the throughput-optimal train config
+                    # (override: DODA_TRAIN_BATCH=N; see
+                    # tools/probe_train_mem.py for the fit probe)
 
 
 def train_bench(state, mf, cfg, b_caps, coords, feats, valid,

@@ -16,6 +16,22 @@ from doda_tpu.models import model_fn as mf
 from doda_tpu.utils.optim import build_optimizer
 
 
+@pytest.fixture(autouse=True, scope='module')
+def _no_persistent_cache_writes():
+    """``executable.serialize()`` SEGFAULTS (jaxlib, reproduced twice at
+    the same call site) when the persistent compile cache tries to WRITE
+    this module's large 8-device sharded train-step executable; reads of
+    previously cached entries are fine. Raise the write threshold so
+    these compiles never reach serialization — the affected executables
+    were never successfully cached anyway, so warm-run time is
+    unchanged."""
+    old = jax.config.jax_persistent_cache_min_compile_time_secs
+    jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                      10 ** 9)
+    yield
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', old)
+
+
 def make_cfg():
     return CfgNode({
         'COMMON_CLASSES': {'n_classes': 5},

@@ -1,6 +1,8 @@
 """Capture a jax.profiler trace of one bench-scale forward (real TPU).
 
 Usage: python tools/trace_fwd.py [outdir=/tmp/trace_fwd] [levels=7]
+       python tools/trace_fwd.py --train [outdir] [levels]   # full train
+         step (fwd/bwd/SGD) at DODA_TRAIN_BATCH (default 4)
 Then:  python tools/xplane_summary.py <outdir>
 
 Engine selection follows the model path (env DODA_CONV; see
@@ -25,22 +27,55 @@ from __graft_entry__ import _flagship  # noqa: E402
 
 
 def main():
-    outdir = sys.argv[1] if len(sys.argv) > 1 else '/tmp/trace_fwd'
-    levels = int(sys.argv[2]) if len(sys.argv) > 2 else 7
+    args = [a for a in sys.argv[1:] if a != '--train']
+    train = '--train' in sys.argv[1:]
+    outdir = args[0] if args else (
+        '/tmp/trace_train' if train else '/tmp/trace_fwd')
+    levels = int(args[1]) if len(args) > 1 else 7
+    batch = (int(os.environ.get('DODA_TRAIN_BATCH', 4)) if train
+             else B.BATCH)
 
     rng = np.random.default_rng(0)
-    coords = np.zeros((B.BATCH, B.N_CAP, 3), np.int32)
-    valid = np.zeros((B.BATCH, B.N_CAP), bool)
-    for b in range(B.BATCH):
+    coords = np.zeros((batch, B.N_CAP, 3), np.int32)
+    valid = np.zeros((batch, B.N_CAP), bool)
+    for b in range(batch):
         c = B.make_scene(rng)
         coords[b, :len(c)] = c
         valid[b, :len(c)] = True
-    feats = rng.normal(size=(B.BATCH, B.N_CAP, 3)).astype(np.float32)
+    feats = rng.normal(size=(batch, B.N_CAP, 3)).astype(np.float32)
     cfg = _flagship(num_levels=levels)
     model = mf.build_model(cfg)
     tx = build_optimizer(cfg.OPTIMIZATION)
     state = mf.init_state(cfg, model, tx, jax.random.PRNGKey(0))
     b_caps = default_brick_caps(B.BRICK_CAP, levels)
+
+    if train:
+        labels = np.where(valid, rng.integers(0, 20, valid.shape),
+                          255).astype(np.int32)
+        batch_t = mf.PointBatch(coords=jnp.asarray(coords),
+                                feats=jnp.asarray(feats),
+                                labels=jnp.asarray(labels),
+                                valid=jnp.asarray(valid))
+        train_step, _, _ = mf.make_steps(cfg, model, tx, b_caps)
+        t0 = time.perf_counter()
+        state, m = train_step(state, batch_t, 0.1, 0)
+        float(m['loss'])
+        print(f'compile+first step {time.perf_counter() - t0:.1f}s',
+              flush=True)
+        for _ in range(3):
+            t0 = time.perf_counter()
+            state, m = train_step(state, batch_t, 0.1, 0)
+            float(m['loss'])
+            dt = time.perf_counter() - t0
+            print(f'steady {dt:.3f}s  ({batch / dt:.2f} scenes/sec '
+                  'trained)', flush=True)
+        os.system(f'rm -rf {outdir}')
+        jax.profiler.start_trace(outdir)
+        state, m = train_step(state, batch_t, 0.1, 0)
+        float(m['loss'])
+        jax.profiler.stop_trace()
+        print(f'trace written to {outdir}')
+        return
 
     @jax.jit
     def fwd(params, batch_stats, coords, feats, valid):
