@@ -26,6 +26,7 @@ TPU-first design decisions:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, NamedTuple, Sequence
 
 import flax.linen as nn
@@ -332,7 +333,9 @@ def _remat_policy(level: int = 0):
     ``all``: blanket remat, save nothing — smallest HBM footprint.
     ``mixN`` (e.g. mix2): blanket at levels < N (whose saved dot outputs
     are the multi-GB rows at L0/L1), dots deeper (small, keeps most of
-    the backward speedup) — the batch-4 memory configuration."""
+    the backward speedup) — a batch-4 memory configuration.
+    ``off``: no remat at all — save every residual (biggest HBM
+    footprint; measured batch-2 A/B in PERF.md round 5)."""
     import os
     v = os.environ.get('DODA_REMAT', 'dots')
     if v == 'all':
@@ -364,8 +367,12 @@ class UBlock(nn.Module):
         # DCEs away and backward does 2 assemblies per conv (dx, dW)
         # instead of 3. DODA_REMAT=all restores the blanket policy
         # (smallest HBM footprint) for A/B and memory-bound configs.
-        block = nn.remat(ResidualBlock if self.residual else VGGBlock,
-                         static_argnums=(4,), policy=_remat_policy(level))
+        block_cls = ResidualBlock if self.residual else VGGBlock
+        if os.environ.get('DODA_REMAT') == 'off':
+            block = block_cls            # save every residual, no replay
+        else:
+            block = nn.remat(block_cls, static_argnums=(4,),
+                             policy=_remat_policy(level))
         kw = dict(dsnorm=self.dsnorm, dtype=self.dtype)
         occ, nbr = levels[level].occ, levels[level].nbr
 
