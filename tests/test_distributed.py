@@ -5,141 +5,36 @@ The clean substitute for the reference's untestable NCCL paths
 implicit cross-replica SyncBN must actually synchronize.
 """
 
-import jax
-import jax.numpy as jnp
 import numpy as np
-import pytest
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
-from doda_tpu.config import CfgNode
-from doda_tpu.models import model_fn as mf
-from doda_tpu.utils.optim import build_optimizer
 
 
-@pytest.fixture(autouse=True, scope='module')
-def _no_persistent_cache_writes():
-    """``executable.serialize()`` SEGFAULTS (jaxlib, reproduced twice at
-    the same call site) when the persistent compile cache tries to WRITE
-    this module's large 8-device sharded train-step executable; reads of
-    previously cached entries are fine. Raise the write threshold so
-    these compiles never reach serialization — the affected executables
-    were never successfully cached anyway, so warm-run time is
-    unchanged."""
-    old = jax.config.jax_persistent_cache_min_compile_time_secs
-    jax.config.update('jax_persistent_cache_min_compile_time_secs',
-                      10 ** 9)
-    yield
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', old)
+def test_sharded_steps_match_single_device_subprocess():
+    """The three heavy 8-device GSPMD equivalence checks (train step,
+    SyncBN batch stats, eval step) run in a FRESH interpreter —
+    tests/_sharded_child.py has the checks and the jaxlib-crash
+    rationale (XLA:CPU compile of these executables aborts in
+    long-lived suite processes; serialize() segfaults on cache writes).
+    Coverage and tolerances are unchanged from the in-process versions
+    that ran through round 4."""
+    import os
+    import subprocess
+    import sys
 
-
-def make_cfg():
-    return CfgNode({
-        'COMMON_CLASSES': {'n_classes': 5},
-        'MODEL': {'BACKBONE': {'use_xyz': False, 'in_channel': 3,
-                               'mid_channel': 4, 'block_residual': True,
-                               'block_reps': 2, 'num_levels': 3},
-                  'dsnorm': False},
-        'DATA_CONFIG': {'DATA_CLASS': {'ignore_label': 255,
-                                       'n_classes': 5}},
-        'OPTIMIZATION': {'optim': 'sgd', 'base_lr': 0.05, 'momentum': 0.9,
-                         'weight_decay': 1e-4, 'loss': 'cross_entropy'},
-    })
-
-
-def make_batch(rng, batch=8, n_cap=256):
-    coords = rng.integers(0, 40, (batch, n_cap, 3)).astype(np.int32)
-    labels = rng.integers(0, 5, (batch, n_cap)).astype(np.int32)
-    valid = np.ones((batch, n_cap), bool)
-    valid[:, 200:] = False
-    labels[~valid] = 255
-    return mf.PointBatch(
-        coords=jnp.asarray(coords),
-        feats=jnp.asarray(rng.normal(size=(batch, n_cap, 3))
-                          .astype(np.float32)),
-        labels=jnp.asarray(labels),
-        valid=jnp.asarray(valid))
-
-
-@pytest.fixture(scope='module')
-def setup():
-    cfg = make_cfg()
-    model = mf.build_model(cfg)
-    tx = build_optimizer(cfg.OPTIMIZATION)
-    steps = mf.make_steps(cfg, model, tx, (128, 64, 32))
-    state = mf.init_state(cfg, model, tx, jax.random.PRNGKey(0))
-    return cfg, steps, state
-
-
-def test_sharded_train_step_matches_single_device(setup, rng):
-    _, (train_step, eval_step, _), state = setup
-    batch = make_batch(rng)
-
-    # single device
-    s1, m1 = train_step(state, batch, 0.05, 0)
-
-    # 8-device data-parallel
-    mesh = Mesh(np.array(jax.devices()[:8]), ('data',))
-    shard = NamedSharding(mesh, P('data'))
-    repl = NamedSharding(mesh, P())
-    batch_sh = jax.tree.map(lambda x: jax.device_put(x, shard), batch)
-    state_sh = jax.tree.map(
-        lambda x: jax.device_put(x, repl) if hasattr(x, 'shape') else x,
-        state)
-    with mesh:
-        s8, m8 = train_step(state_sh, batch_sh, 0.05, 0)
-
-    # sharded reductions reorder float sums; bitwise equality is not
-    # expected, 1e-3 relative is
-    np.testing.assert_allclose(float(m1['loss']), float(m8['loss']),
-                               rtol=1e-3)
-    # borderline logits can flip argmax under reordered float sums;
-    # allow a couple of boundary points per class
-    assert np.abs(np.asarray(m1['intersection']).astype(np.int64)
-                  - np.asarray(m8['intersection'])).max() <= 3
-    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
-        # bf16 convs + reordered cross-shard reductions shift the norm
-        # statistics slightly; after one optimizer step params agree to
-        # ~1e-3 absolute
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=5e-2, atol=2e-3)
-
-
-def test_batch_stats_are_cross_replica(setup, rng):
-    """Batch-norm statistics must reduce over the full (sharded) batch —
-    i.e. SyncBN semantics come from GSPMD, not from per-shard stats."""
-    _, (train_step, _, _), state = setup
-    # scenes with wildly different feature scales per shard
-    batch = make_batch(rng)
-    feats = np.array(batch.feats)
-    feats[0::2] *= 10.0
-    batch = batch._replace(feats=jnp.asarray(feats))
-
-    s1, _ = train_step(state, batch, 0.0, 0)
-
-    mesh = Mesh(np.array(jax.devices()[:8]), ('data',))
-    shard = NamedSharding(mesh, P('data'))
-    batch_sh = jax.tree.map(lambda x: jax.device_put(x, shard), batch)
-    with mesh:
-        s8, _ = train_step(state, batch_sh, 0.0, 0)
-    for a, b in zip(jax.tree.leaves(s1.batch_stats),
-                    jax.tree.leaves(s8.batch_stats)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-3, atol=1e-4)
-
-
-def test_eval_step_sharded(setup, rng):
-    _, (_, eval_step, _), state = setup
-    batch = make_batch(rng)
-    out1 = eval_step(state.params, state.batch_stats, batch, 0)
-    mesh = Mesh(np.array(jax.devices()[:8]), ('data',))
-    shard = NamedSharding(mesh, P('data'))
-    batch_sh = jax.tree.map(lambda x: jax.device_put(x, shard), batch)
-    with mesh:
-        out8 = eval_step(state.params, state.batch_stats, batch_sh, 0)
-    mismatch = (np.asarray(out1['preds']) != np.asarray(out8['preds'])).sum()
-    assert mismatch <= 5, mismatch
-    assert np.abs(np.asarray(out1['union']).astype(np.int64)
-                  - np.asarray(out8['union'])).max() <= 5
+    child = os.path.join(os.path.dirname(__file__), '_sharded_child.py')
+    root = os.path.dirname(os.path.dirname(os.path.abspath(child)))
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(('JAX_', 'XLA_'))}
+    env.update(JAX_PLATFORMS='cpu',
+               XLA_FLAGS='--xla_force_host_platform_device_count=8')
+    if 'DODA_TEST_CCACHE' in os.environ:
+        env['DODA_TEST_CCACHE'] = os.environ['DODA_TEST_CCACHE']
+    proc = subprocess.run([sys.executable, child], env=env, cwd=root,
+                          stdout=subprocess.PIPE,
+                          stderr=subprocess.STDOUT, text=True,
+                          timeout=3000)
+    assert proc.returncode == 0, f'sharded child failed:\n{proc.stdout}'
+    for i in (1, 2, 3):
+        assert f'sharded-child check {i} OK' in proc.stdout, proc.stdout
 
 
 # ---------------------------------------------------------------------------
